@@ -1,0 +1,19 @@
+"""rac2d_tpu — TPU-native thermo-chemical disk modeling framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
+serial Fortran code (2D protoplanetary-disk thermo-chemistry: Monte Carlo
+continuum radiative transfer, stiff gas-grain chemistry co-evolved with gas
+temperature, NLTE line excitation, ray-traced line/continuum cubes).
+
+Precision policy: the chemistry/thermal solve path is float64 (the problem
+spans ~30 decades of abundance and is genuinely ill-conditioned; the
+reference is double precision throughout), so x64 is enabled at import.
+The Monte Carlo transport and imaging paths run in float32 by explicit
+dtype choice in their kernels — statistical noise dominates there.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from . import constants  # noqa: E402,F401
