@@ -1,0 +1,393 @@
+"""Batched adaptive variable-order BDF integrator for stiff ODEs.
+
+TPU-native replacement for the role of the vendored DLSODES sparse stiff
+BDF solver in the reference (reference: src/opkdmain.f:1757, driven by
+src/chemistry.f90:391-588 ``chem_evol_solve``).  Instead of one serial
+sparse-LU solver per grid cell, this module implements a variable-order
+(1..5) BDF in backward-difference form — the same family of method, written
+as fixed-shape jax control flow so that thousands of cells integrate
+simultaneously under ``vmap``: every per-cell branch (step accept/reject,
+Newton failure, Jacobian refresh, order change) is a masked lane, and the
+Newton linear algebra is a batched dense LU that XLA maps onto the MXU.
+
+The method follows the classic quasi-constant-step-size BDF with
+backward-difference history (Shampine & Reichelt's formulation, as used by
+scipy.integrate.BDF), with the NDF "kappa" acceleration terms.  The
+per-species tolerance vectors and the error/convergence handling mirror the
+knobs the reference exposes (RTOL/ATOL arrays, max step count, quality
+flags; src/chemistry.f90:190-268, 500-530).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import lu_factor, lu_solve
+
+MAX_ORDER = 5
+NEWTON_MAXITER = 4
+MIN_FACTOR = 0.2
+MAX_FACTOR = 10.0
+
+# NDF constants (order 0 slot unused)
+_KAPPA = jnp.array([0.0, -0.1850, -1.0 / 9.0, -0.0823, -0.0415, 0.0])
+_GAMMA = jnp.concatenate([jnp.zeros(1), jnp.cumsum(1.0 / jnp.arange(1, MAX_ORDER + 1))])
+_ALPHA = (1.0 - _KAPPA) * _GAMMA
+# error constants kappa*gamma + 1/(k+1), padded so [order+1] is valid at
+# order = MAX_ORDER
+_ERR_CONST = _KAPPA * _GAMMA + 1.0 / (jnp.arange(MAX_ORDER + 1) + 1.0)
+_ERR_CONST = jnp.concatenate([_ERR_CONST, jnp.array([1.0 / (MAX_ORDER + 2.0)])])
+
+_NROWS = MAX_ORDER + 3  # rows of the difference array D
+
+
+def _rms_norm(x):
+    return jnp.sqrt(jnp.mean(x * x))
+
+
+def _compute_R(order, factor):
+    """Change-of-step-size matrix R for the difference array (full size).
+
+    Rows/cols beyond `order` act as the identity so the same fixed-shape
+    matrix works for every lane's current order.
+    """
+    n = MAX_ORDER + 1
+    i = jnp.arange(n, dtype=jnp.float64)[:, None]
+    j = jnp.arange(n, dtype=jnp.float64)[None, :]
+    i_safe = jnp.maximum(i, 1.0)
+    M = (i - 1.0 - factor * j) / i_safe
+    M = jnp.where(i >= 1.0, M, 1.0)
+    valid = (i <= order) & (j <= order) & (i >= 1)
+    Mm = jnp.where(valid | (i == 0), M, 1.0)
+    Rc = jnp.cumprod(Mm, axis=0)
+    sel = (i <= order) & (j <= order)
+    eye = jnp.where(i == j, 1.0, 0.0)
+    return jnp.where(sel, Rc, eye)
+
+
+def _change_D(D, order, factor):
+    R = _compute_R(order, factor)
+    U = _compute_R(order, 1.0)
+    RU = R @ U
+    head = RU.T @ D[:MAX_ORDER + 1]
+    return D.at[:MAX_ORDER + 1].set(head)
+
+
+def _predict(D, order):
+    row = jnp.arange(_NROWS)[:, None]
+    return jnp.sum(jnp.where(row <= order, D, 0.0), axis=0)
+
+
+def _psi(D, order):
+    row = jnp.arange(_NROWS)
+    g = jnp.where((row >= 1) & (row <= order),
+                  jnp.concatenate([_GAMMA, jnp.zeros(_NROWS - MAX_ORDER - 1)])[row],
+                  0.0)
+    return (g[:, None] * D).sum(axis=0) / _ALPHA[order]
+
+
+def _update_D(D, order, d):
+    """Difference-array update after an accepted step."""
+    D_old_qp1 = D[order + 1]
+    D = D.at[order + 2].set(d - D_old_qp1)
+    D = D.at[order + 1].set(d)
+    row = jnp.arange(_NROWS)[:, None]
+    W = jnp.where(row <= order + 1, D, 0.0)
+    S = jnp.flip(jnp.cumsum(jnp.flip(W, axis=0), axis=0), axis=0)
+    return jnp.where(row <= order, S, D)
+
+
+def interpolate(D, order, t_cur, h, t):
+    """Evaluate the BDF interpolating polynomial at time t <= t_cur."""
+    m = jnp.arange(MAX_ORDER + 1, dtype=jnp.float64)
+    x = (t - (t_cur - m * h)) / ((m + 1.0) * h)
+    p = jnp.cumprod(x)
+    jrow = jnp.arange(1, MAX_ORDER + 2)
+    w = jnp.where(jrow <= order, p, 0.0)
+    return D[0] + (w[:, None] * D[1:MAX_ORDER + 2]).sum(axis=0)
+
+
+class BDFState(NamedTuple):
+    t: jnp.ndarray
+    h: jnp.ndarray
+    order: jnp.ndarray          # int
+    D: jnp.ndarray              # [_NROWS, NEQ]
+    n_equal_steps: jnp.ndarray  # int
+    J: jnp.ndarray              # [NEQ, NEQ]
+    LU: jnp.ndarray             # [NEQ, NEQ]
+    piv: jnp.ndarray            # [NEQ] int
+    c_lu: jnp.ndarray           # c value baked into LU
+    need_lu: jnp.ndarray        # bool
+    jac_fresh: jnp.ndarray      # bool
+    fail: jnp.ndarray           # bool
+    n_steps: jnp.ndarray        # accepted steps
+    n_feval: jnp.ndarray
+    n_jeval: jnp.ndarray
+    n_lu: jnp.ndarray
+
+
+class BDFResult(NamedTuple):
+    ts: jnp.ndarray        # [n_out] times actually recorded
+    ys: jnp.ndarray        # [n_out, NEQ]
+    t_final: jnp.ndarray
+    fail: jnp.ndarray
+    n_steps: jnp.ndarray
+    n_feval: jnp.ndarray
+    n_jeval: jnp.ndarray
+    n_lu: jnp.ndarray
+
+
+def _newton(f, LU_piv, c, psi, y_pred, scale, tol):
+    """Damped simplified-Newton solve of the BDF algebraic system.
+
+    Solves d such that  d = c * f(y_pred + d) - psi  via iterations with a
+    frozen LU of (I - c J).
+    """
+    NEQ = y_pred.shape[0]
+
+    def body(carry):
+        k, y, d, dy_norm_old, converged, diverged, nfe = carry
+        fy = f(y)
+        rhs = c * fy - psi - d
+        dy = lu_solve(LU_piv, rhs)
+        dy_norm = _rms_norm(dy / scale)
+        with_old = dy_norm_old > 0.0
+        rate = jnp.where(with_old, dy_norm / jnp.maximum(dy_norm_old, 1e-300), 0.0)
+        bad = with_old & (
+            (rate >= 1.0)
+            | (rate ** (NEWTON_MAXITER - k) / jnp.maximum(1.0 - rate, 1e-10)
+               * dy_norm > tol))
+        ok_finite = jnp.isfinite(dy_norm)
+        diverged_new = bad | ~ok_finite
+        y_new = jnp.where(diverged_new, y, y + dy)
+        d_new = jnp.where(diverged_new, d, d + dy)
+        conv = ~diverged_new & (
+            (dy_norm == 0.0)
+            | (with_old & (rate / jnp.maximum(1.0 - rate, 1e-10) * dy_norm < tol)))
+        return (k + 1, y_new, d_new, dy_norm, conv, diverged_new, nfe + 1)
+
+    def cond(carry):
+        k, y, d, dy_norm_old, converged, diverged, nfe = carry
+        return (k < NEWTON_MAXITER) & ~converged & ~diverged
+
+    init = (jnp.array(0), y_pred, jnp.zeros(NEQ), jnp.array(0.0),
+            jnp.array(False), jnp.array(False), jnp.array(0))
+    k, y, d, dy_norm, converged, diverged, nfe = jax.lax.while_loop(
+        cond, body, init)
+    return converged, k, y, d, nfe
+
+
+def _step(f, jac, state: BDFState, t_bound, rtol, atol, newton_tol):
+    """Attempt steps until one is accepted (or the lane fails)."""
+    NEQ = state.D.shape[1]
+    eye = jnp.eye(NEQ)
+
+    def cond(carry):
+        state, accepted, error_norm, safety, d = carry
+        return ~accepted & ~state.fail
+
+    def body(carry):
+        state, accepted, _, _, _ = carry
+        # clamp step to the integration bound (reference ITASK=4 semantics)
+        h = state.h
+        t_new_raw = state.t + h
+        over = t_new_raw > t_bound
+        factor_clamp = jnp.where(over, (t_bound - state.t) / h, 1.0)
+        D = jax.lax.cond(over,
+                         lambda D: _change_D(D, state.order, factor_clamp),
+                         lambda D: D, state.D)
+        h = h * factor_clamp
+        t_new = jnp.where(over, t_bound, t_new_raw)
+        need_lu = state.need_lu | over
+
+        hmin = 10.0 * jnp.finfo(jnp.float64).eps * jnp.maximum(
+            jnp.abs(state.t), jnp.abs(t_new))
+        too_small = h < hmin
+
+        y_pred = _predict(D, state.order)
+        scale = atol + rtol * jnp.abs(y_pred)
+        psi = _psi(D, state.order)
+        c = h / _ALPHA[state.order]
+
+        def refactor(_):
+            lu, piv = lu_factor(eye - c * state.J)
+            return lu, piv, c, state.n_lu + 1
+
+        def keep(_):
+            return state.LU, state.piv, state.c_lu, state.n_lu
+
+        LU, piv, c_lu, n_lu = jax.lax.cond(
+            need_lu | (c != state.c_lu), refactor, keep, None)
+
+        converged, n_iter, y_new, d, nfe = _newton(
+            f, (LU, piv), c, psi, y_pred, scale, newton_tol)
+
+        safety = 0.9 * (2.0 * NEWTON_MAXITER + 1.0) / (
+            2.0 * NEWTON_MAXITER + n_iter)
+
+        # --- failure handling ---
+        # Newton failed with stale Jacobian: refresh J, retry at same h.
+        refresh_jac = ~converged & ~state.jac_fresh
+        J_new = jax.lax.cond(refresh_jac, lambda _: jac(y_pred),
+                             lambda _: state.J, None)
+        n_jeval = state.n_jeval + refresh_jac
+        # Newton failed with fresh Jacobian: halve the step.
+        halve = ~converged & state.jac_fresh
+        # error test
+        scale_new = atol + rtol * jnp.abs(y_new)
+        error_norm = jnp.where(
+            converged,
+            _rms_norm(_ERR_CONST[state.order] * d / scale_new),
+            jnp.inf)
+        reject = converged & (error_norm > 1.0)
+        factor_rej = jnp.maximum(
+            MIN_FACTOR,
+            safety * error_norm ** (-1.0 / (state.order + 1.0)))
+        accept = converged & ~reject
+
+        factor = jnp.where(halve, 0.5, jnp.where(reject, factor_rej, 1.0))
+        do_rescale = (halve | reject)
+        D = jax.lax.cond(do_rescale,
+                         lambda D: _change_D(D, state.order, factor),
+                         lambda D: D, D)
+        h_next = jnp.where(do_rescale, h * factor, h)
+
+        fail = state.fail | (too_small & ~accept) | ~jnp.isfinite(h_next)
+
+        new_state = BDFState(
+            t=jnp.where(accept, t_new, state.t),
+            h=h_next,
+            order=state.order,
+            D=D,
+            n_equal_steps=jnp.where(do_rescale, 0, state.n_equal_steps),
+            J=J_new, LU=LU, piv=piv, c_lu=c_lu,
+            need_lu=refresh_jac | do_rescale,
+            jac_fresh=jnp.where(refresh_jac, True, state.jac_fresh),
+            fail=fail,
+            n_steps=state.n_steps + accept,
+            n_feval=state.n_feval + nfe,
+            n_jeval=n_jeval,
+            n_lu=n_lu,
+        )
+        return (new_state, accept, error_norm, safety, d)
+
+    NEQz = jnp.zeros(NEQ)
+    state, accepted, error_norm, safety, d = jax.lax.while_loop(
+        cond, body, (state, jnp.array(False), jnp.inf, jnp.array(0.9), NEQz))
+
+    # --- post-accept: difference update + order/step-size adaptation ---
+    def post(args):
+        state, error_norm, safety, d = args
+        order = state.order
+        D = _update_D(state.D, order, d)
+        n_eq = state.n_equal_steps + 1
+
+        def adapt(_):
+            y_new = D[0]
+            scale = atol + rtol * jnp.abs(y_new)
+            em = _rms_norm(_ERR_CONST[order - 1] * D[order] / scale)
+            ep = _rms_norm(_ERR_CONST[order + 1] * D[order + 2] / scale)
+            em = jnp.where(order > 1, em, jnp.inf)
+            ep = jnp.where(order < MAX_ORDER, ep, jnp.inf)
+            norms = jnp.stack([em, error_norm, ep])
+            expo = -1.0 / (order + jnp.arange(3, dtype=jnp.float64))
+            factors = jnp.where(norms > 0.0, norms ** expo, MAX_FACTOR * 2)
+            best = jnp.argmax(factors)
+            new_order = jnp.clip(order + best - 1, 1, MAX_ORDER)
+            factor = jnp.minimum(MAX_FACTOR, safety * factors[best])
+            factor = jnp.maximum(factor, MIN_FACTOR)
+            D2 = _change_D(D, new_order, factor)
+            return (D2, new_order, state.h * factor, jnp.array(0), True)
+
+        def keep(_):
+            return (D, order, state.h, n_eq, False)
+
+        D2, new_order, h_new, n_eq2, rescaled = jax.lax.cond(
+            n_eq >= order + 1, adapt, keep, None)
+        return state._replace(
+            D=D2, order=new_order, h=h_new, n_equal_steps=n_eq2,
+            need_lu=state.need_lu | rescaled,
+            jac_fresh=False)
+
+    state = jax.lax.cond(accepted, post,
+                         lambda args: args[0], (state, error_norm, safety, d))
+    return state
+
+
+def bdf_solve(f: Callable, jac: Callable, y0, t0, touts, rtol, atol,
+              first_step, max_steps_per_interval: int = 2000) -> BDFResult:
+    """Integrate y' = f(y) from t0 recording at `touts` (single system).
+
+    f(y)->ydot, jac(y)->J are autonomous (time enters only through y, as in
+    the reference chemistry).  rtol/atol are per-equation vectors.  vmap
+    over leading axes of (y0, rtol, atol, ...) for the batched solve.
+    """
+    y0 = jnp.asarray(y0, dtype=jnp.float64)
+    NEQ = y0.shape[0]
+    touts = jnp.asarray(touts, dtype=jnp.float64)
+    t_bound = touts[-1]
+
+    f0 = f(y0)
+    J0 = jac(y0)
+    D = jnp.zeros((_NROWS, NEQ)).at[0].set(y0).at[1].set(first_step * f0)
+    state = BDFState(
+        t=jnp.asarray(t0, dtype=jnp.float64),
+        h=jnp.asarray(first_step, dtype=jnp.float64),
+        order=jnp.array(1),
+        D=D,
+        n_equal_steps=jnp.array(0),
+        J=J0,
+        LU=jnp.zeros((NEQ, NEQ)),
+        piv=jnp.zeros(NEQ, dtype=jnp.int32),
+        c_lu=jnp.array(jnp.nan),
+        need_lu=jnp.array(True),
+        jac_fresh=jnp.array(True),
+        fail=jnp.array(False),
+        n_steps=jnp.array(0),
+        n_feval=jnp.array(1),
+        n_jeval=jnp.array(1),
+        n_lu=jnp.array(0),
+    )
+
+    rtol_min = jnp.min(rtol)
+    newton_tol = jnp.maximum(
+        10 * jnp.finfo(jnp.float64).eps / jnp.maximum(rtol_min, 1e-15),
+        jnp.minimum(0.03, jnp.sqrt(rtol_min)))
+
+    def record(state, tout):
+        def cond(carry):
+            s, n = carry
+            return (s.t < tout) & ~s.fail & (n < max_steps_per_interval)
+
+        def body(carry):
+            s, n = carry
+            return _step(f, jac, s, t_bound, rtol, atol, newton_tol), n + 1
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.array(0)))
+        t_rec = jnp.minimum(tout, state.t)
+        y_rec = interpolate(state.D, state.order, state.t, state.h, t_rec)
+        return state, (t_rec, y_rec)
+
+    state, (ts, ys) = jax.lax.scan(record, state, touts)
+    return BDFResult(ts=ts, ys=ys, t_final=state.t, fail=state.fail,
+                     n_steps=state.n_steps, n_feval=state.n_feval,
+                     n_jeval=state.n_jeval, n_lu=state.n_lu)
+
+
+def log_output_times(t_start, t_end, ratio=1.1, n_max=None):
+    """Log-spaced record times like the reference's ratio_tstep ladder
+
+    (reference src/chemistry.f90:440-568: tout advances by a constant
+    multiplicative factor from dt_first_step up to t_max).
+    """
+    import numpy as np
+    ts = []
+    t = t_start
+    while t < t_end and (n_max is None or len(ts) < n_max - 1):
+        ts.append(t)
+        t *= ratio
+    ts.append(t_end)
+    return np.array(ts)

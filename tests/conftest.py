@@ -5,11 +5,17 @@ Must run before jax initializes a backend, hence env vars set here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The TPU plugin in this image rewrites jax_platforms to "axon,cpu" at
+# import, overriding the env var; force it back so tests stay on CPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,84 @@
+"""BDF integrator unit tests (Robertson stiff problem + basics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rac2d_tpu.ops.bdf import bdf_solve, interpolate, log_output_times
+
+
+def _robertson():
+    def f(y):
+        return jnp.array([
+            -0.04 * y[0] + 1e4 * y[1] * y[2],
+            0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+            3e7 * y[1] ** 2])
+
+    def jac(y):
+        return jnp.array([
+            [-0.04, 1e4 * y[2], 1e4 * y[1]],
+            [0.04, -1e4 * y[2] - 6e7 * y[1], -1e4 * y[1]],
+            [0.0, 6e7 * y[1], 0.0]])
+
+    return f, jac
+
+
+def test_robertson_against_scipy():
+    from scipy.integrate import solve_ivp
+    f, jac = _robertson()
+    touts = jnp.asarray(np.logspace(-5, 5, 20))
+    y0 = jnp.array([1.0, 0.0, 0.0])
+    rtol = jnp.full(3, 1e-6)
+    atol = jnp.full(3, 1e-10)
+    res = jax.jit(lambda y: bdf_solve(f, jac, y, 0.0, touts, rtol, atol,
+                                      1e-6))(y0)
+    assert not bool(res.fail)
+    assert float(res.t_final) == 1e5
+    sol = solve_ivp(lambda t, y: np.asarray(f(jnp.asarray(y))), (0, 1e5),
+                    np.asarray(y0), method="BDF", rtol=1e-10, atol=1e-14,
+                    t_eval=np.asarray(touts),
+                    jac=lambda t, y: np.asarray(jac(jnp.asarray(y))))
+    # error bounded by a modest multiple of the requested tolerance
+    ref = sol.y.T
+    bound = 10.0 * (1e-6 * np.abs(ref) + 1e-10)
+    assert (np.abs(np.asarray(res.ys) - ref) < bound).all()
+
+
+def test_batched_vmap():
+    f, jac = _robertson()
+    touts = jnp.asarray(np.logspace(-3, 3, 8))
+    rtol = jnp.full(3, 1e-5)
+    atol = jnp.full(3, 1e-10)
+    y0s = jnp.stack([jnp.array([1.0, 0.0, 0.0]),
+                     jnp.array([0.9, 0.0, 0.1])])
+    res = jax.vmap(lambda y: bdf_solve(f, jac, y, 0.0, touts, rtol, atol,
+                                       1e-6))(y0s)
+    assert res.ys.shape == (2, 8, 3)
+    assert not bool(res.fail.any())
+    # mass conservation per lane
+    total = np.asarray(res.ys).sum(-1)
+    assert np.abs(total[0] - 1.0).max() < 1e-8
+    assert np.abs(total[1] - 1.0).max() < 1e-8
+
+
+def test_linear_decay_exact():
+    lam = 2.5
+
+    def f(y):
+        return -lam * y
+
+    def jac(y):
+        return jnp.array([[-lam]])
+
+    touts = jnp.asarray([0.5, 1.0, 2.0])
+    res = bdf_solve(f, jac, jnp.array([1.0]), 0.0, touts,
+                    jnp.full(1, 1e-8), jnp.full(1, 1e-12), 1e-4)
+    expected = np.exp(-lam * np.asarray(touts))
+    assert np.abs(np.asarray(res.ys)[:, 0] - expected).max() < 1e-6
+
+
+def test_log_output_times():
+    ts = log_output_times(1e-8, 1e6, 1.1)
+    assert ts[0] == 1e-8
+    assert ts[-1] == 1e6
+    assert len(ts) > 300
