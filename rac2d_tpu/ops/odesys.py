@@ -30,7 +30,7 @@ class ChemicalODE:
 
     def __init__(self, net: ChemNet, h2_form_use_moeq: bool = False,
                  diff2des: float = 0.5,
-                 thermal_fn: Callable | None = None):
+                 thermal=None):
         self.net = net
         self.n_species = net.n_species
         self.neq = net.n_species + 1
@@ -38,78 +38,103 @@ class ChemicalODE:
         self.diff2des = diff2des
         self.tab: RateTables = build_rate_tables(net)
         self.inc: Incidence = build_incidence(net, h2_form_use_moeq)
-        # thermal_fn(y_full, env) -> dT/dt [K/yr]; None = frozen temperature
-        self.thermal_fn = thermal_fn
+        # ThermalBalance instance (ops.thermal); None = frozen temperature
+        self.thermal = thermal
         self.key_idx = jnp.asarray(net.key_species_idx)
 
+    def _rates(self, env, T):
+        return compute_rates(self.tab, env, T, self.diff2des,
+                             self.h2_form_use_moeq)
+
     # ---- closures -------------------------------------------------------
-    def make_f(self, env: CellEnv, evolT: bool):
+    def make_f(self, env: CellEnv, evolT: bool, tenv=None):
         nS = self.n_species
 
         def f(y):
             T = y[nS] if evolT else env.Tgas
-            k = compute_rates(self.tab, env, T, self.diff2des,
-                              self.h2_form_use_moeq)
+            k = self._rates(env, T)
             ydot_s = rhs_species(self.inc, k, y[:nS], env.ratioDust2HnucNum,
                                  env.SitesPerGrain)
-            if evolT and self.thermal_fn is not None:
-                Tdot = self.thermal_fn(y, env)
+            if evolT and self.thermal is not None:
+                Tdot = self.thermal.dTdt(y, T, env, tenv, k)
             else:
                 Tdot = jnp.zeros(())
             return jnp.concatenate([ydot_s, Tdot[None]])
 
         return f
 
-    def make_jac(self, env: CellEnv, evolT: bool):
+    def make_jac(self, env: CellEnv, evolT: bool, tenv=None):
+        """Dense Jacobian closure.
+
+        Structured to keep the traced graph small: the species block is
+        the analytic COO assembly; because the RHS is linear in the rate
+        vector k, the T column of the species block is just the RHS
+        assembled from dk/dT (one jvp through compute_rates only); the T
+        row differentiates the thermal rate at FIXED k — matching the
+        reference semantics where the species-perturbation finite
+        differences do not re-evaluate the rate coefficients
+        (disk.f90:4878-4890), and the T-column finite difference does
+        (disk.f90:4891-4899).
+        """
         nS = self.n_species
-        f = self.make_f(env, evolT)
 
         def jac(y):
             T = y[nS] if evolT else env.Tgas
-            k = compute_rates(self.tab, env, T, self.diff2des,
-                              self.h2_form_use_moeq)
+            if evolT and self.thermal is not None:
+                k, dk = jax.jvp(lambda TT: self._rates(env, TT),
+                                (T,), (jnp.ones(()),))
+            else:
+                k = self._rates(env, T)
             Js = jac_species(self.inc, k, y[:nS], env.ratioDust2HnucNum,
                              env.SitesPerGrain)
             J = jnp.zeros((self.neq, self.neq)).at[:nS, :nS].set(Js)
-            if evolT and self.thermal_fn is not None:
-                # T column: exact directional derivative of the full RHS
-                # (reference uses finite differences, disk.f90:4891-4899)
-                eT = jnp.zeros(self.neq).at[nS].set(1.0)
-                _, col = jax.jvp(f, (y,), (eT,))
-                J = J.at[:, nS].set(col)
-                # T row: dTdot/dy, restricted to the species the reference
-                # differentiates (the 10 heating/cooling key species,
-                # disk.f90:4878-4890)
-                row = jax.grad(lambda yy: self.thermal_fn(yy, env))(y)
+            if evolT and self.thermal is not None:
+                col_s = rhs_species(self.inc, dk, y[:nS],
+                                    env.ratioDust2HnucNum, env.SitesPerGrain)
+                J = J.at[:nS, nS].set(col_s)
+                # dTdot/dT including the k(T) dependence, forward mode
+                _, dTdot_dT = jax.jvp(
+                    lambda TT, kk: self.thermal.dTdt(y, TT, env, tenv, kk),
+                    (T, k), (jnp.ones(()), dk))
+                # T row at fixed k, masked to the 10 key species
+                row = jax.grad(
+                    lambda yy: self.thermal.dTdt(yy, T, env, tenv, k))(y)
                 mask = jnp.zeros(self.neq).at[self.key_idx].set(1.0)
                 J = J.at[nS, :].set(row * mask)
+                J = J.at[nS, nS].set(dTdot_dT)
             return J
 
         return jac
 
     # ---- solve ----------------------------------------------------------
     def solve(self, env: CellEnv, y0_species, Tgas0, touts, rtol, atol,
-              first_step=1e-8, evolT: bool = False,
+              first_step=1e-8, evolT: bool = False, tenv=None,
               max_steps_per_interval: int = 2000) -> bdfmod.BDFResult:
         """Integrate one cell.  All args may be batched; use solve_batched."""
-        f = self.make_f(env, evolT)
-        jac = self.make_jac(env, evolT)
+        f = self.make_f(env, evolT, tenv)
+        jac = self.make_jac(env, evolT, tenv)
         y0 = jnp.concatenate([jnp.asarray(y0_species),
                               jnp.asarray(Tgas0)[None]])
         return bdfmod.bdf_solve(f, jac, y0, 0.0, touts, rtol, atol,
                                 first_step, max_steps_per_interval)
 
     def solve_batched(self, envs: CellEnv, y0_species, Tgas0, touts, rtol,
-                      atol, first_step=1e-8, evolT: bool = False,
+                      atol, first_step=1e-8, evolT: bool = False, tenvs=None,
                       max_steps_per_interval: int = 2000) -> bdfmod.BDFResult:
-        """vmap over cells: envs fields and y0/T0/rtol/atol carry a leading
-        batch axis; touts is shared."""
+        """vmap over cells: envs/tenvs fields and y0/T0/rtol/atol carry a
+        leading batch axis; touts is shared."""
+        if tenvs is None:
+            def one(env, y0, T0, rt, at):
+                return self.solve(env, y0, T0, touts, rt, at, first_step,
+                                  evolT, None, max_steps_per_interval)
 
-        def one(env, y0, T0, rt, at):
-            return self.solve(env, y0, T0, touts, rt, at, first_step, evolT,
-                              max_steps_per_interval)
+            return jax.vmap(one)(envs, y0_species, Tgas0, rtol, atol)
 
-        return jax.vmap(one)(envs, y0_species, Tgas0, rtol, atol)
+        def one(env, tenv, y0, T0, rt, at):
+            return self.solve(env, y0, T0, touts, rt, at, first_step,
+                              evolT, tenv, max_steps_per_interval)
+
+        return jax.vmap(one)(envs, tenvs, y0_species, Tgas0, rtol, atol)
 
 
 def tolerance_ladder(net: ChemNet, level: int, rtol0: float, atol0: float,

@@ -1,0 +1,204 @@
+"""Optical tables for the Monte Carlo transport.
+
+Rebuild of the reference per-cell optics layer (reference:
+src/montecarlo.f90:110-210 ``align_optical_data``/``make_global_coll``,
+:214-266 ``make_Xray_abs_sca``, :271-302 ``update_gl_optical_OTF`` (Lyman
+alpha Voigt cross section), :1392-1419 water cross section, :1487-1526
+``make_LUT_Tdust``).
+
+TPU inversion: instead of baking a [n_cells, n_lam] extinction table, the
+walk computes extinction on the fly as a sum over ~8 interaction channels
+of (shared sigma[lam] table) x (per-cell density scalar); the temperature-
+dependent Lyman-alpha cross section is evaluated analytically per cell.
+Dust reemission sampling uses precomputed inverse-CDF tables (quantile
+lookup) instead of per-event binary searches over spectra.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+
+from .. import constants as c
+from ..io.draine import DustMixture
+from ..utils import planck
+
+
+@dataclasses.dataclass
+class McConfig:
+    """Subset of the reference montecarlo_configure namelist."""
+    nph: int = 100_000
+    refine_UV: float = 0.2
+    refine_LyA: float = 0.1
+    refine_Xray: float = 1e-3
+    nmax_cross: int = 2_000_000
+    nmax_encounter: int = 100_000
+    minw: float = 0.0        # min w (= sin of latitude) of emission cone
+    maxw: float = 1.0
+    ph_init_symmetric: bool = True
+    TdustMin: float = 1.0
+    TdustMax: float = 2000.0
+    nlen_lut: int = 1024
+    n_quantile: int = 512    # reemission inverse-CDF resolution
+    allow_Xray_scattering: bool = True
+    disallow_any_scattering: bool = False
+    nlam_xray: int = 100
+    n_channel_Lya: int = 200
+    dist: float = 100.0      # pc, for SEDs
+
+
+class McTables(NamedTuple):
+    """Shared (cell-independent) optical tables, device-ready."""
+    lam: np.ndarray          # [nlam] angstrom ascending (bin left edges)
+    is_xray: np.ndarray      # [nlam] bool
+    kab: np.ndarray          # [n_dust, nlam] cm^2/g (0 in X-ray band)
+    ksc: np.ndarray          # [n_dust, nlam]
+    g: np.ndarray            # [n_dust, nlam] HG asymmetry
+    xr_gas_abs: np.ndarray   # [nlam] cm^2 per H
+    xr_gas_sca: np.ndarray   # [nlam]
+    xr_dus_abs0: np.ndarray  # [nlam] cm^2 per H before depletion/shielding
+    xr_dus_sca: np.ndarray   # [nlam]
+    sigma_h2o: np.ndarray    # [nlam] cm^2
+    # Tdust lookup: cumulative integral of kappa_abs * B_lambda
+    lut_Tds: np.ndarray      # [nT]
+    lut_vals: np.ndarray     # [n_dust, nT]  (erg cm^2 g^-1 s^-1 sr^-1)
+    # reemission sampling: lambda-bin index quantiles per (dust, T)
+    reemit_q: np.ndarray     # [n_dust, nT, n_quantile] int32
+    pmass: np.ndarray        # [n_dust] particle mass g
+
+
+def lam_to_keV(lam_A):
+    return c.hPlanck_CGS * c.SpeedOfLight_CGS / (np.asarray(lam_A) * 1e-8) \
+        / c.keV2erg
+
+
+def bethell_xray_gas(E_keV):
+    """Bethell & Bergin 2011 gas X-ray absorption per H (table 2 fits)."""
+    from ..io import bethell
+    return bethell.sigma_gas(E_keV)
+
+
+def lya_sigma(lam_A, T):
+    """Lyman-alpha scattering cross section at gas temperature T.
+
+    sigma(nu) = f12 sqrt(pi) r_e c / dnu_th * Voigt(x, a)
+    (reference make_H_Lya / update_gl_optical_OTF,
+    src/montecarlo.f90:1423-1475, 271-302).  Works with numpy or jnp.
+    """
+    import jax.numpy as jnp
+    dnu_th = c.LyAlpha_nu0 * jnp.sqrt(
+        8.0 * c.kBoltzmann_SI * T / jnp.pi / 1.67262158e-27) / 299792458.0
+    a = c.LyAlpha_dnul / (2.0 * dnu_th)
+    coeff = c.LyAlpha_f12 * jnp.sqrt(jnp.pi) \
+        * c.electronClassicalRadius_CGS * c.SpeedOfLight_CGS / dnu_th
+    nu = 299792458.0 / (lam_A * 1e-10)
+    x = jnp.abs(nu - c.LyAlpha_nu0) / dnu_th
+    from ..utils.voigt import voigt
+    return coeff * jnp.maximum(voigt(x, a), 0.0)
+
+
+def master_lam_grid(dusts: list[DustMixture], cfg: McConfig,
+                    T_lya_profile=1000.0):
+    """Union wavelength grid: X-ray + dust + fine Lyman-alpha channels."""
+    lam_d = dusts[0].lam
+    # X-ray grid
+    xr0 = c.lam_range_Xray[0] / c.Angstrom2micron
+    xr1 = c.lam_range_Xray[1] / c.Angstrom2micron
+    lam_x = np.logspace(np.log10(xr0), np.log10(xr1), cfg.nlam_xray)
+    # Lyman-alpha fine channels, +-2000 thermal widths like the reference
+    dnu_th = c.LyAlpha_nu0 * np.sqrt(
+        8.0 * c.kBoltzmann_SI * T_lya_profile / np.pi / 1.67262158e-27) \
+        / 299792458.0
+    n2 = cfg.n_channel_Lya // 2
+    x = np.logspace(-3, np.log10(2e3), n2)
+    nus = c.LyAlpha_nu0 + np.concatenate([-x[::-1], x]) * dnu_th
+    lam_lya = 299792458.0 / nus * 1e10
+    lam = np.unique(np.concatenate([lam_x, lam_d, np.sort(lam_lya)]))
+    return lam
+
+
+def build_tables(dusts: list[DustMixture], cfg: McConfig,
+                 h2o_lam=None, h2o_sigma=None) -> McTables:
+    from ..io import bethell
+    lam = master_lam_grid(dusts, cfg)
+    nlam = len(lam)
+    n_dust = len(dusts)
+    E = lam_to_keV(lam)
+    xr_lo = c.lam_range_Xray[0] / c.Angstrom2micron
+    xr_hi = c.lam_range_Xray[1] / c.Angstrom2micron
+    is_xray = (lam >= xr_lo) & (lam <= xr_hi)
+
+    kab = np.zeros((n_dust, nlam))
+    ksc = np.zeros((n_dust, nlam))
+    g = np.zeros((n_dust, nlam))
+    for i, d in enumerate(dusts):
+        kab[i] = np.interp(lam, d.lam, d.kab)
+        ksc[i] = np.interp(lam, d.lam, d.ksc)
+        g[i] = np.interp(lam, d.lam, d.g)
+        # X-ray band: dust optics replaced by Bethell cross sections and a
+        # strongly forward-peaked g (reference align_optical_data,
+        # montecarlo.f90:130-153)
+        mu_med = np.cos(np.minimum(1.0, 0.1 / 180.0 / np.maximum(E, 1e-10))
+                        * np.pi)
+        g[i] = np.where(is_xray, np.sqrt(np.maximum(mu_med, 0.0)), g[i])
+        kab[i] = np.where(is_xray, 0.0, kab[i])
+        ksc[i] = np.where(is_xray, 0.0, ksc[i])
+
+    xr_gas_abs = np.where(is_xray, bethell.sigma_gas(E), 0.0)
+    xr_gas_sca = np.where(
+        is_xray & cfg.allow_Xray_scattering,
+        c.ThomsonScatterCross_CGS * (1.0 + 1.0 / 6.0), 0.0)
+    xr_dus_abs0 = np.where(is_xray, bethell.sigma_dust_raw(E), 0.0)
+    xr_dus_sca = np.where(
+        is_xray & cfg.allow_Xray_scattering,
+        1.3e-22 / (E ** 1.8 + 0.4), 0.0)
+
+    sigma_h2o = np.zeros(nlam)
+    if h2o_lam is not None:
+        sigma_h2o = np.interp(lam, h2o_lam, h2o_sigma, left=0.0, right=0.0)
+
+    # Tdust LUT: cumulative integral over lambda of kab * B_lambda(T)
+    nT = cfg.nlen_lut
+    Tds = np.logspace(np.log10(cfg.TdustMin), np.log10(cfg.TdustMax), nT)
+    lam_cm = lam * c.Angstrom2cm
+    dlam = np.diff(lam_cm)
+    lam_mid = 0.5 * (lam_cm[1:] + lam_cm[:-1])
+    lut_vals = np.zeros((n_dust, nT))
+    reemit_q = np.zeros((n_dust, nT, cfg.n_quantile), dtype=np.int32)
+    qs = (np.arange(cfg.n_quantile) + 0.5) / cfg.n_quantile
+    for i in range(n_dust):
+        kmid = 0.5 * (kab[i][1:] + kab[i][:-1])
+        for t in range(nT):
+            B = np.array(planck.B_lambda(Tds[t], lam_mid))
+            seg = dlam * kmid * B
+            cum = np.concatenate([[0.0], np.cumsum(seg)])
+            tot = cum[-1]
+            lut_vals[i, t] = tot
+            if tot > 0:
+                reemit_q[i, t] = np.clip(
+                    np.searchsorted(cum / tot, qs) - 1, 0, nlam - 2)
+    return McTables(
+        lam=lam, is_xray=is_xray, kab=kab, ksc=ksc, g=g,
+        xr_gas_abs=xr_gas_abs, xr_gas_sca=xr_gas_sca,
+        xr_dus_abs0=xr_dus_abs0, xr_dus_sca=xr_dus_sca,
+        sigma_h2o=sigma_h2o, lut_Tds=Tds, lut_vals=lut_vals,
+        reemit_q=reemit_q,
+        pmass=np.array([d.pmass for d in dusts]))
+
+
+def tdust_from_energy(tab: McTables, idust: int, val):
+    """Invert the cumulative-emission LUT: val = en_gain/(4 pi m_dust)
+    -> Tdust (reference get_Tdust_from_LUT, montecarlo.f90:856-930)."""
+    import jax.numpy as jnp
+    vals = jnp.asarray(tab.lut_vals[idust])
+    Tds = jnp.asarray(tab.lut_Tds)
+    n = vals.shape[0]
+    i = jnp.clip(jnp.searchsorted(vals, val), 1, n - 1)
+    t = (val - vals[i - 1]) / jnp.maximum(vals[i] - vals[i - 1], 1e-300)
+    T = Tds[i - 1] + jnp.clip(t, 0.0, 1.0) * (Tds[i] - Tds[i - 1])
+    T = jnp.where(val <= vals[0], Tds[0] * val / jnp.maximum(vals[0], 1e-300),
+                  T)
+    T = jnp.where(val >= vals[-1], Tds[-1], T)
+    return T
