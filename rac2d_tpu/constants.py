@@ -83,12 +83,14 @@ SitesDensity_CGS = 1e15          # grain surface site density cm^-2
 
 colDen2Av_coeff = 5.3e-22        # Draine 2011 eq 21.7
 
-# Wavelength band edges (micron) used for band-integrated radiation fields
-# (reference: src/disk.f90 post_montecarlo band reductions).
-lam_range_Xray = (9.6e-5, 6.2e-3)
-lam_range_UV = (9e-2, 3e-1)
-lam_range_LyA = (1.2105e-1, 1.2205e-1)
-lam_range_Vis = (3e-1, 8e-1)
-lam_range_NIR = (8e-1, 5.0)
-lam_range_MIR = (5.0, 20.0)
-lam_range_FIR = (20.0, 1e3)
+# Wavelength band edges (micron; defined in Angstrom in the reference,
+# src/montecarlo.f90:36-44) for band-integrated radiation fields.
+lam_range_Xray = (0.1e-4, 100.0e-4)
+lam_range_UV = (900e-4, 2000e-4)
+lam_range_UV_H2phd = (900e-4, 1100e-4)
+lam_range_LyA = (1210e-4, 1220e-4)
+lam_range_LyA_ext = (1100e-4, 1300e-4)
+lam_range_Vis = (3000e-4, 8000e-4)
+lam_range_NIR = (8000e-4, 5.0)
+lam_range_MIR = (5.0, 30.0)
+lam_range_FIR = (30.0, 200.0)

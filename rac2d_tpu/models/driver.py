@@ -1,0 +1,403 @@
+"""Disk model orchestration: the thermo-chemical fixed-point iteration.
+
+Rebuild of the reference main loop (reference: src/disk.f90:224-394
+``disk_iteration``, :1519 ``disk_iteration_prepare``, :1629
+``calc_this_cell``, :1901-1933 convergence checks) as a host-side driver
+over jitted stages:
+
+    prepare -> [MC passes -> field reduction -> column/shielding update
+               -> batched chemistry(+T) solve -> convergence check] x n_iter
+
+Inversions for TPU: cells are solved as one vmapped batch per chunk
+instead of column-serial sweeps; the per-cell retry ladder with relaxed
+tolerances (reference nlocal_iter) becomes whole-batch re-solves of the
+failed lanes; the Bjorkman-Wood temperature update becomes Lucy passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as c
+from ..io import draine, umist
+from ..ops import bdf as bdfmod
+from ..ops import columns, fields, geometry, mcrt, odesys, optics, thermal
+from ..ops.rates import CellEnv
+from . import density, star as starmod
+from .grid import Grid, GridConfig, make_grid
+
+
+@dataclasses.dataclass
+class DustComponent:
+    opti_files: list[str]
+    weights: list[float]
+    rho_material: float = 2.0     # g/cm^3
+    mrn_rmin: float = 0.01        # micron
+    mrn_rmax: float = 1.0
+    mrn_n: float = 3.5
+    d2g_mass: float = 0.01        # mass ratio to gas
+    andrews: density.AndrewsDisk | None = None   # None = follow gas
+
+
+@dataclasses.dataclass
+class DiskConfig:
+    # star
+    star_mass: float = 0.6
+    star_radius: float = 1.0
+    star_T: float = 4000.0
+    star_spectrum_file: str | None = None
+    lumi_Xray: float = 0.0
+    T_Xray: float = 1e7
+    # disk structure
+    andrews: density.AndrewsDisk = None
+    grid: GridConfig = None
+    dust: list[DustComponent] = None
+    # chemistry
+    network_file: str = ""
+    enthalpy_file: str | None = None
+    init_abundances_file: str = ""
+    h2o_cross_file: str | None = None
+    # iteration control (reference iteration_configure defaults)
+    n_iter: int = 4
+    rtol_abun: float = 0.2
+    atol_abun: float = 1e-12
+    converged_fraction: float = 0.95
+    evolT: bool = True
+    t_max: float = 1e6
+    dt_first: float = 1e-8
+    ratio_tstep: float = 1.1
+    rtol_chem: float = 1e-4
+    atol_chem: float = 1e-30
+    nlocal_iter: int = 4
+    chem_chunk: int = 256
+    # MC control
+    mc: optics.McConfig = None
+    n_mc_passes: int = 3
+    nph_per_pass: int = 200_000
+    maxw: float = 0.95
+    UV_G0_background: float = 1.0
+    zeta_cosmicray_H2: float = 1.36e-17
+    base_alpha: float = 0.01
+    minimum_Tdust: float = 1.0
+    dust_depletion: float = 1.0
+
+
+class DiskModel:
+    """Holds all prepared state; run() drives the fixed-point loop."""
+
+    def __init__(self, cfg: DiskConfig):
+        self.cfg = cfg
+        self.log = []
+
+    def say(self, msg):
+        self.log.append(msg)
+        print(msg, flush=True)
+
+    # ------------------------------------------------------------------
+    def prepare(self):
+        cfg = self.cfg
+        t0 = time.time()
+        self.say("loading chemical network...")
+        self.net = umist.load_network(cfg.network_file, cfg.enthalpy_file)
+        self.y0 = umist.load_initial_abundances(
+            self.net, cfg.init_abundances_file)
+        self.thermal = thermal.ThermalBalance(self.net)
+        self.ode = odesys.ChemicalODE(self.net, thermal=self.thermal)
+
+        self.say("loading dust optics...")
+        self.mixtures = []
+        for dc in cfg.dust:
+            raws = [draine.load_opti(f) for f in dc.opti_files]
+            raw = draine.mix_raw(raws, dc.weights) if len(raws) > 1 else raws[0]
+            self.mixtures.append(draine.mrn_average(
+                raw, dc.mrn_rmin, dc.mrn_rmax, dc.mrn_n, dc.rho_material))
+
+        self.say("building grid...")
+        self.grid: Grid = make_grid(cfg.grid, cfg.andrews)
+        self.gi = geometry.build_grid_index(self.grid)
+        self.say(f"  {self.grid.n_cells} cells, "
+                 f"{int(self.grid.using.sum())} active")
+
+        self.say("building optics tables...")
+        h2o_lam = h2o_sig = None
+        if cfg.h2o_cross_file:
+            h2o_lam, h2o_sig = draine.load_h2o_cross_section(
+                cfg.h2o_cross_file)
+        self.mc_cfg = cfg.mc or optics.McConfig(nph=cfg.nph_per_pass)
+        self.tab = optics.build_tables(self.mixtures, self.mc_cfg,
+                                       h2o_lam, h2o_sig)
+
+        self.say("preparing star...")
+        if cfg.star_spectrum_file:
+            self.star = starmod.load_star_spectrum(
+                cfg.star_spectrum_file, mass=cfg.star_mass,
+                radius=cfg.star_radius, T=cfg.star_T)
+        else:
+            self.star = starmod.blackbody_star(
+                cfg.star_T, cfg.star_radius, mass=cfg.star_mass)
+        self.star.lumi_Xray = cfg.lumi_Xray
+        self.star.T_Xray = cfg.T_Xray
+        self.star = starmod.merge_xray(self.star)
+        A = 1.0 / c.Angstrom2micron
+        self.lumi_UV0 = self.star.luminosity(
+            c.lam_range_UV[0] * A, c.lam_range_UV[1] * A)
+        self.lumi_Lya = self.star.luminosity(
+            c.lam_range_LyA[0] * A, c.lam_range_LyA[1] * A)
+        self.lumi_H2phd = self.star.luminosity(
+            c.lam_range_UV_H2phd[0] * A, c.lam_range_UV_H2phd[1] * A)
+
+        self.say("tracing column-density rays...")
+        self.W_star, self.W_ism = columns.build_path_matrices(
+            self.grid, self.gi)
+
+        # --- per-cell static state ---
+        g = self.grid
+        n = g.n_cells
+        self.n_dust = len(self.mixtures)
+        mu = 1.4 * c.mProton_CGS
+        rho_gas = g.n0 * mu
+        rho_dust = np.stack([rho_gas * dc.d2g_mass for dc in cfg.dust])
+        vol = g.volumes_cm3()
+        pmass = np.array([m.pmass for m in self.mixtures])
+        n_dusts = rho_dust / pmass[:, None]
+        sig_dusts = np.array([np.pi * m.r2av for m in self.mixtures]) \
+            * c.micron2cm ** 2
+        sig_nd = n_dusts * sig_dusts[:, None]
+        self.abso_wei = sig_nd / np.maximum(sig_nd.sum(0), 1e-300)
+        self.rho_dust = rho_dust
+        self.n_dusts = n_dusts
+        self.sig_dusts = sig_dusts
+        self.vol = vol
+        self.d2h = n_dusts.sum(0) / np.maximum(g.n0, 1e-300)
+        self.grain_a = np.full(n, np.sqrt(
+            sum(m.r2av for m in self.mixtures) / self.n_dust) * c.micron2cm)
+        self.r2av = np.array([m.r2av for m in self.mixtures])
+        rc, zc = g.centers()
+        self.r_cells = rc
+        self.z_cells = zc
+        self.omega_K = np.sqrt(c.GravitationConst_CGS * cfg.star_mass
+                               * c.Msun_CGS / (rc * c.AU2cm) ** 3)
+        self.velo_grad = 0.5 * np.sqrt(
+            c.GravitationConst_CGS * cfg.star_mass * c.Msun_CGS
+            / (rc * c.AU2cm)) / (rc * c.AU2cm)
+
+        # --- evolving state ---
+        self.X = np.tile(self.y0[:, None], (1, n))        # [nS, n]
+        self.Tgas = np.full(n, 0.0)
+        self.Tdust = np.full(n, cfg.minimum_Tdust)
+        self.Tdusts = np.zeros((self.n_dust, n))
+        self.fields = None
+        self.quality = np.zeros(n, dtype=np.int64)
+        self.say(f"prepare done in {time.time() - t0:.1f}s")
+
+    # ------------------------------------------------------------------
+    def mc_cells(self) -> mcrt.McCells:
+        g = self.grid
+        i_HI = self.net.idx["H"]
+        i_H2O = self.net.idx["H2O"]
+        return mcrt.McCells(
+            rmin=jnp.asarray(g.rmin), rmax=jnp.asarray(g.rmax),
+            zmin=jnp.asarray(g.zmin), zmax=jnp.asarray(g.zmax),
+            using=jnp.asarray(g.using), n_gas=jnp.asarray(g.n0),
+            n_HI=jnp.asarray(g.n0 * self.X[i_HI]),
+            n_H2O=jnp.asarray(g.n0 * self.X[i_H2O]),
+            Tgas=jnp.asarray(np.maximum(self.Tgas, 100.0)),
+            rho_dust=jnp.asarray(self.rho_dust),
+            dust_depletion=jnp.full(g.n_cells, self.cfg.dust_depletion),
+            d2h=jnp.asarray(self.d2h),
+            grain_a=jnp.asarray(self.grain_a),
+            Tdust=jnp.asarray(self.Tdusts),
+            mdust_cell=jnp.asarray(self.rho_dust * self.vol[None, :]),
+            abso_wei=jnp.asarray(self.abso_wei))
+
+    def run_mc(self, n_passes=None, seed=0):
+        """Lucy-iterated Monte Carlo: repeat passes, freezing Tdust within
+        each pass and updating it from the absorbed-energy tallies."""
+        cfg = self.cfg
+        n_passes = n_passes or cfg.n_mc_passes
+        lam_pk, en_pk = starmod.packet_ladder(
+            self.star, cfg.nph_per_pass, self.mc_cfg.refine_UV,
+            self.mc_cfg.refine_LyA, self.mc_cfg.refine_Xray)
+        # symmetric upper-cone emission scaling (reference
+        # get_mc_stellar_par, montecarlo.f90:82-106)
+        en_pk = en_pk * (cfg.maxw / 4.0)
+        nlam = len(self.tab.lam)
+        for ip in range(n_passes):
+            t0 = time.time()
+            cells = self.mc_cells()
+            model = mcrt.McModel(tab=self.tab, gi=self.gi, cells=cells,
+                                 star_mass=cfg.star_mass)
+            key = jax.random.PRNGKey(seed * 1000 + ip)
+            tall = mcrt.McTallies.zeros(self.grid.n_cells, nlam,
+                                        self.n_dust, 5)
+            pk = mcrt.launch_packets(model, key, jnp.asarray(lam_pk),
+                                     jnp.asarray(en_pk), 0.0, cfg.maxw)
+            pk, tall = mcrt.mc_pass(model, key, pk, tall,
+                                    n_quantile=self.mc_cfg.n_quantile)
+            self.tallies = tall
+            fld = fields.reduce_fields(
+                self.tab, cells, tall, self.vol, self.r2av,
+                self.lumi_UV0, self.lumi_Lya, self.lumi_H2phd,
+                jnp.asarray(self.r_cells), jnp.asarray(self.z_cells),
+                cfg.UV_G0_background, cfg.minimum_Tdust)
+            self.fields = fld
+            self.Tdusts = np.asarray(fld.Tdusts)
+            self.Tdust = np.asarray(fld.Tdust)
+            self.say(f"  MC pass {ip + 1}/{n_passes}: "
+                     f"{len(lam_pk)} packets in {time.time() - t0:.1f}s; "
+                     f"Tdust {self.Tdust[self.grid.using].min():.1f}.."
+                     f"{self.Tdust[self.grid.using].max():.1f} K")
+
+    # ------------------------------------------------------------------
+    def assemble_envs(self, idx):
+        """CellEnv/ThermalEnv for the cells in index array idx."""
+        cfg = self.cfg
+        g = self.grid
+        f = self.fields
+        dv = np.sqrt(c.kBoltzmann_CGS * np.maximum(self.Tgas, 10.0)
+                     / (c.mProton_CGS * 1.4 * 2.0))
+        sh = columns.compute_shielding(
+            self.W_star, self.W_ism, jnp.asarray(g.n0),
+            jnp.asarray(self.X), self.net.idx, jnp.asarray(dv),
+            self.thermal_visser())
+        self._shield = sh
+        # Av to ISM: dust column scaled by the geometric cross section x2
+        # (reference mode -6 of calc_Ncol_from_cell_to_point,
+        # disk.f90:2691-2700, applied at disk.f90:1430)
+        Ncol_dust_ism = np.asarray(self.W_ism.matvec(
+            jnp.asarray(self.n_dusts.sum(0))))
+        Av_ism = 1.086 * Ncol_dust_ism * np.pi * self.grain_a ** 2 * 2.0
+        take = lambda a: jnp.asarray(np.asarray(a)[idx])
+        take2 = lambda a: jnp.asarray(np.asarray(a)[:, idx]).T  # [B, 5]
+        env = CellEnv(
+            Tgas=take(self.Tgas),
+            Tdust=take(self.Tdust),
+            n_gas=take(g.n0),
+            zeta_cosmicray_H2=jnp.full(len(idx), cfg.zeta_cosmicray_H2),
+            zeta_Xray_H2=take(f.zeta_Xray),
+            Ncol_toISM=take(np.asarray(sh.Ncol_toISM)),
+            Av_toISM=take(Av_ism),
+            Av_toStar=take(f.Av_toStar),
+            G0_UV_toISM=jnp.full(len(idx), cfg.UV_G0_background),
+            G0_UV_toStar=take(f.G0_UV_toStar),
+            G0_UV_H2phd=take(f.G0_UV_H2phd),
+            G0_UV_toStar_photoDesorb=take(f.G0_UV_toStar_photoDesorb),
+            phflux_Lya=take(f.phflux_Lya),
+            omega_albedo=jnp.full(len(idx), 0.5),
+            f_selfshielding_toISM=take2(sh.toISM),
+            f_selfshielding_toStar=take2(sh.toStar),
+            GrainRadius_CGS=take(self.grain_a),
+            sigdust_ave=jnp.asarray(
+                (self.sig_dusts[:, None] * self.n_dusts).sum(0)[idx]
+                / np.maximum(self.n_dusts.sum(0)[idx], 1e-300)),
+            ndust_tot=take(self.n_dusts.sum(0)),
+            ratioDust2HnucNum=take(self.d2h),
+            SitesPerGrain=jnp.asarray(
+                4.0 * np.pi * self.grain_a[idx] ** 2 * c.SitesDensity_CGS),
+        )
+        cs = np.sqrt(c.kBoltzmann_CGS * np.maximum(self.Tgas[idx], 1.0)
+                     / (c.mProton_CGS * 1.4 * 2.0))
+        tenv = thermal.ThermalEnv(
+            PAH_abundance=jnp.full(len(idx), c.PAH_abundance_0),
+            MeanMolWeight=jnp.full(len(idx), 1.4),
+            alpha_viscosity=jnp.full(len(idx), cfg.base_alpha),
+            omega_Kepler=take(self.omega_K),
+            velo_width_turb=jnp.asarray(cs),
+            coherent_length=jnp.asarray(cs / self.velo_grad[idx]),
+            Ncol_toStar=take(np.asarray(sh.Ncol_toStar)),
+            Neufeld_G=jnp.ones(len(idx)),
+            Neufeld_dv_dz=jnp.asarray(self.velo_grad[idx] * 1e-5),
+            n_dusts=jnp.asarray(self.n_dusts[:, idx]).T @ jnp.eye(self.n_dust, 4),
+            sig_dusts=jnp.tile(jnp.asarray(self.sig_dusts), (len(idx), 1))
+            @ jnp.eye(self.n_dust, 4),
+            Tdusts=jnp.asarray(self.Tdusts[:, idx]).T @ jnp.eye(self.n_dust, 4),
+            en_gains=jnp.asarray(
+                np.asarray(self.tallies.en_gain)[:, idx]).T
+            @ jnp.eye(self.n_dust, 4) + jnp.where(
+                jnp.arange(4) >= self.n_dust, jnp.inf, 0.0),
+            volume=take(self.vol),
+        )
+        return env, tenv
+
+    def thermal_visser(self):
+        from ..io import tables
+        if not hasattr(self, "_visser"):
+            self._visser = tables.VisserCOShielding()
+        return self._visser
+
+    # ------------------------------------------------------------------
+    def chemistry_step(self, iiter=1):
+        """One full-disk chemistry(+T) sweep, batched over cells."""
+        cfg = self.cfg
+        act = np.nonzero(self.grid.using)[0]
+        touts = jnp.asarray(bdfmod.log_output_times(
+            cfg.dt_first, cfg.t_max, cfg.ratio_tstep))
+        # initial Tgas guess (reference set_initial_condition_4solver,
+        # disk.f90:2014-2047): slightly above Tdust on first iteration
+        if iiter == 1:
+            self.Tgas = np.maximum(self.Tdust * 1.1 + 10.0, self.Tgas)
+        nS = self.net.n_species
+        n_done = 0
+        abun_prev = self.X.copy()
+        for lo in range(0, len(act), cfg.chem_chunk):
+            idx = act[lo:lo + cfg.chem_chunk]
+            env, tenv = self.assemble_envs(idx)
+            y0b = jnp.asarray(self.X[:, idx].T)
+            T0b = jnp.asarray(self.Tgas[idx])
+            level = 1
+            remaining = np.arange(len(idx))
+            for level in range(1, cfg.nlocal_iter + 1):
+                rtol, atol = odesys.tolerance_ladder(
+                    self.net, level, cfg.rtol_chem, cfg.atol_chem,
+                    float(self.d2h.mean()))
+                rtol_b = jnp.tile(rtol, (len(idx), 1))
+                atol_b = jnp.tile(atol, (len(idx), 1))
+                res = self.ode.solve_batched(
+                    env, y0b, T0b, touts, rtol_b, atol_b,
+                    first_step=cfg.dt_first, evolT=cfg.evolT, tenvs=tenv)
+                ok = ~np.asarray(res.fail)
+                if ok.all() or level == cfg.nlocal_iter:
+                    break
+                self.say(f"    chunk {lo // cfg.chem_chunk}: "
+                         f"{int((~ok).sum())} cells failed at level "
+                         f"{level}; relaxing tolerances")
+            yf = np.asarray(res.ys[:, -1, :])
+            okm = ~np.asarray(res.fail)
+            self.X[:, idx[okm]] = yf[okm, :nS].T
+            if cfg.evolT:
+                self.Tgas[idx[okm]] = yf[okm, nS]
+            self.quality[idx[~okm]] += 512
+            n_done += len(idx)
+            self.say(f"  chemistry {n_done}/{len(act)} cells "
+                     f"(steps median {int(np.median(res.n_steps))})")
+        # convergence bookkeeping on the 10 key species (reference
+        # check_convergency_cell, disk.f90:1901-1915)
+        ki = self.net.key_species_idx
+        d = np.abs(self.X[ki][:, act] - abun_prev[ki][:, act])
+        tol = cfg.atol_abun + cfg.rtol_abun * np.abs(
+            self.X[ki][:, act] + abun_prev[ki][:, act])
+        self.converged_cells = (d <= tol).all(axis=0)
+        frac = self.converged_cells.mean() if len(act) else 1.0
+        self.say(f"  converged cells: {self.converged_cells.sum()}"
+                 f"/{len(act)} ({frac * 100:.1f}%)")
+        return frac
+
+    # ------------------------------------------------------------------
+    def run(self, n_iter=None):
+        n_iter = n_iter or self.cfg.n_iter
+        self.say("initial Monte Carlo (Tdust bootstrap)...")
+        self.run_mc()
+        for it in range(1, n_iter + 1):
+            self.say(f"=== iteration {it}/{n_iter} ===")
+            if it > 1:
+                self.run_mc(seed=it)
+            frac = self.chemistry_step(iiter=it)
+            if frac >= self.cfg.converged_fraction:
+                self.say("converged.")
+                break
+        return self

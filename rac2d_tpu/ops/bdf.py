@@ -318,7 +318,8 @@ def _step(f, jac, state: BDFState, t_bound, rtol, atol, newton_tol):
 
 
 def bdf_solve(f: Callable, jac: Callable, y0, t0, touts, rtol, atol,
-              first_step, max_steps_per_interval: int = 2000) -> BDFResult:
+              first_step, max_steps_per_interval: int = 2000,
+              sanity_fn: Callable | None = None) -> BDFResult:
     """Integrate y' = f(y) from t0 recording at `touts` (single system).
 
     f(y)->ydot, jac(y)->J are autonomous (time enters only through y, as in
@@ -364,7 +365,12 @@ def bdf_solve(f: Callable, jac: Callable, y0, t0, touts, rtol, atol,
 
         def body(carry):
             s, n = carry
-            return _step(f, jac, s, t_bound, rtol, atol, newton_tol), n + 1
+            s = _step(f, jac, s, t_bound, rtol, atol, newton_tol)
+            if sanity_fn is not None:
+                # insane-state guard (role of reference
+                # src/chemistry.f90:520-530: abort the cell, flag quality)
+                s = s._replace(fail=s.fail | sanity_fn(s.D[0]))
+            return s, n + 1
 
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.array(0)))
         t_rec = jnp.minimum(tout, state.t)

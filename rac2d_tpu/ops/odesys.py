@@ -66,45 +66,70 @@ class ChemicalODE:
     def make_jac(self, env: CellEnv, evolT: bool, tenv=None):
         """Dense Jacobian closure.
 
-        Structured to keep the traced graph small: the species block is
-        the analytic COO assembly; because the RHS is linear in the rate
-        vector k, the T column of the species block is just the RHS
-        assembled from dk/dT (one jvp through compute_rates only); the T
-        row differentiates the thermal rate at FIXED k — matching the
-        reference semantics where the species-perturbation finite
-        differences do not re-evaluate the rate coefficients
-        (disk.f90:4878-4890), and the T-column finite difference does
-        (disk.f90:4891-4899).
+        The species block is the analytic COO assembly.  The temperature
+        row/column use finite differences with exactly the reference's
+        perturbation sizes (src/disk.f90:4755-4761, 4878-4899): this is
+        deliberate — it matches the reference numerics AND keeps the
+        traced graph to evaluations of f / dTdt only (autodiff of the full
+        rate+thermal stack inside the solver loops explodes XLA compile
+        time).  Per reference semantics the species-perturbation FDs do
+        not re-evaluate rate coefficients; the T-perturbation does (it
+        goes through f).
         """
         nS = self.n_species
 
         def jac(y):
             T = y[nS] if evolT else env.Tgas
-            if evolT and self.thermal is not None:
-                k, dk = jax.jvp(lambda TT: self._rates(env, TT),
-                                (T,), (jnp.ones(()),))
-            else:
-                k = self._rates(env, T)
+            k = self._rates(env, T)
             Js = jac_species(self.inc, k, y[:nS], env.ratioDust2HnucNum,
                              env.SitesPerGrain)
             J = jnp.zeros((self.neq, self.neq)).at[:nS, :nS].set(Js)
             if evolT and self.thermal is not None:
-                col_s = rhs_species(self.inc, dk, y[:nS],
-                                    env.ratioDust2HnucNum, env.SitesPerGrain)
-                J = J.at[:nS, nS].set(col_s)
-                # dTdot/dT including the k(T) dependence, forward mode
-                _, dTdot_dT = jax.jvp(
-                    lambda TT, kk: self.thermal.dTdt(y, TT, env, tenv, kk),
-                    (T, k), (jnp.ones(()), dk))
-                # T row at fixed k, masked to the 10 key species
-                row = jax.grad(
-                    lambda yy: self.thermal.dTdt(yy, T, env, tenv, k))(y)
-                mask = jnp.zeros(self.neq).at[self.key_idx].set(1.0)
-                J = J.at[nS, :].set(row * mask)
-                J = J.at[nS, nS].set(dTdot_dT)
+                f = self.make_f(env, True, tenv)
+                f0 = f(y)
+                # T column: FD through the full RHS (rates recomputed)
+                dT = 1e-2 * T + 1.0
+                col = (f(y.at[nS].set(T + dT)) - f0) / dT
+                # T row: FD of dTdt wrt the 10 key species at fixed k;
+                # zero for species currently negative (reference
+                # disk.f90:4880-4890)
+                d2h = env.ratioDust2HnucNum
+
+                def tdot_pert(i):
+                    yi = y[i]
+                    dy = yi * 1e-2 + d2h * 1e-6
+                    yp = y.at[i].set(yi + dy)
+                    td = self.thermal.dTdt(yp, T, env, tenv, k)
+                    return jnp.where(yi >= 0.0, (td - f0[nS]) / dy, 0.0)
+
+                row_vals = jax.vmap(tdot_pert)(self.key_idx)
+                J = J.at[nS, self.key_idx].set(row_vals)
+                J = J.at[:, nS].set(col)
             return J
 
         return jac
+
+    def _sanity(self, evolT):
+        """Insane-state detector (reference src/chemistry.f90:520-530)."""
+        nS = self.n_species
+        ids = [self.net.idx.get(s, -1) for s in ("gH2", "gH2O", "gH")]
+        i_HI = self.net.idx.get("H", -1)
+        i_E = self.net.idx.get("E-", -1)
+
+        def bad(y):
+            b = jnp.zeros((), dtype=bool)
+            for i in ids:
+                if i >= 0:
+                    b = b | (jnp.abs(y[i]) > 1.0)
+            if i_HI >= 0:
+                b = b | (jnp.abs(y[i_HI]) > 2.0)
+            if i_E >= 0:
+                b = b | (jnp.abs(y[i_E]) > 1.0)
+            if evolT:
+                b = b | jnp.isnan(y[nS]) | (y[nS] <= 0.0)
+            return b
+
+        return bad
 
     # ---- solve ----------------------------------------------------------
     def solve(self, env: CellEnv, y0_species, Tgas0, touts, rtol, atol,
@@ -116,7 +141,8 @@ class ChemicalODE:
         y0 = jnp.concatenate([jnp.asarray(y0_species),
                               jnp.asarray(Tgas0)[None]])
         return bdfmod.bdf_solve(f, jac, y0, 0.0, touts, rtol, atol,
-                                first_step, max_steps_per_interval)
+                                first_step, max_steps_per_interval,
+                                sanity_fn=self._sanity(evolT))
 
     def solve_batched(self, envs: CellEnv, y0_species, Tgas0, touts, rtol,
                       atol, first_step=1e-8, evolT: bool = False, tenvs=None,

@@ -1,0 +1,81 @@
+"""Device-mesh sharding for the disk solver.
+
+The reference is a serial binary (SURVEY.md: no MPI/OpenMP anywhere); all
+parallelism here is new design.  The decomposition:
+
+  - axis "cells": the (r, z) grid cells, block-sharded.  The per-cell
+    stiff chemistry solves are embarrassingly parallel (vmap within each
+    shard); column-density path-matrix products need cross-shard segment
+    sums (psum).
+  - axis "pkt": Monte Carlo packets.  Each device transports its packet
+    subset through the (replicated) cell optics; the per-cell tallies are
+    psum'd across the packet axis — the MC analogue of gradient
+    all-reduce.
+
+Multi-host: the same mesh spans hosts via jax.distributed; tallies ride
+ICI within a slice and DCN across slices, handled entirely by XLA
+collectives on the psum.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_cells_shards=None, n_pkt_shards=None):
+    """A 2D (cells, pkt) mesh over the available devices."""
+    devs = np.array(jax.devices())
+    n = len(devs)
+    if n_cells_shards is None:
+        # favor packet parallelism (MC dominates wall time)
+        n_cells_shards = 1
+        n_pkt_shards = n
+    if n_pkt_shards is None:
+        n_pkt_shards = n // n_cells_shards
+    assert n_cells_shards * n_pkt_shards == n
+    return Mesh(devs.reshape(n_cells_shards, n_pkt_shards),
+                axis_names=("cells", "pkt"))
+
+
+def shard_batch(mesh: Mesh, arr, axis="cells"):
+    """Put an array with its leading axis sharded over `axis`."""
+    return jax.device_put(arr, NamedSharding(mesh, P(axis)))
+
+
+def replicate(mesh: Mesh, arr):
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def sharded_chemistry_solve(mesh: Mesh, ode, envs, tenvs, y0b, T0b, touts,
+                            rtol_b, atol_b, first_step, evolT):
+    """Batched chemistry solve with the cell batch sharded over the whole
+    mesh (both axes flattened): pure data parallelism, no collectives."""
+    flat = Mesh(mesh.devices.reshape(-1), axis_names=("d",))
+    sh = NamedSharding(flat, P("d"))
+    put = lambda t: jax.tree.map(lambda a: jax.device_put(a, sh), t)
+    envs = put(envs)
+    tenvs = put(tenvs) if tenvs is not None else None
+    y0b = jax.device_put(y0b, sh)
+    T0b = jax.device_put(T0b, sh)
+    return ode.solve_batched(envs, y0b, T0b, touts, rtol_b, atol_b,
+                             first_step=first_step, evolT=evolT,
+                             tenvs=tenvs)
+
+
+def mc_pass_sharded(mesh: Mesh, model, key, packets, tallies, **kw):
+    """MC with packets sharded over every device; per-cell tallies are
+    partial per shard and all-reduced at the end (psum via jnp.sum over
+    the sharded axis is handled by XLA when we re-shard to replicated)."""
+    from ..ops import mcrt
+    flat = Mesh(mesh.devices.reshape(-1), axis_names=("d",))
+    shp = NamedSharding(flat, P("d"))
+    rep = NamedSharding(flat, P())
+    packets = jax.tree.map(lambda a: jax.device_put(a, shp), packets)
+    model = jax.tree.map(lambda a: jax.device_put(a, rep), model)
+    tallies = jax.tree.map(lambda a: jax.device_put(a, rep), tallies)
+    # scatter-adds from sharded packets into replicated tallies become
+    # XLA all-reduces automatically under jit
+    return mcrt.mc_pass(model, key, packets, tallies, **kw)
