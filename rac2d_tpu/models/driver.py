@@ -237,8 +237,10 @@ class DiskModel:
                                         self.n_dust, 5)
             pk = mcrt.launch_packets(model, key, jnp.asarray(lam_pk),
                                      jnp.asarray(en_pk), 0.0, cfg.maxw)
-            pk, tall = mcrt.mc_pass(model, key, pk, tall,
-                                    n_quantile=self.mc_cfg.n_quantile)
+            pk, tall = mcrt.mc_pass(
+                model, key, pk, tall,
+                n_quantile=self.mc_cfg.n_quantile,
+                nmax_encounter=self.mc_cfg.nmax_encounter)
             self.tallies = tall
             fld = fields.reduce_fields(
                 self.tab, cells, tall, self.vol, self.r2av,

@@ -94,6 +94,7 @@ class Packets(NamedTuple):
     cell: jnp.ndarray       # int32
     tau: jnp.ndarray        # remaining optical depth to next event
     status: jnp.ndarray     # int32
+    e_count: jnp.ndarray    # int32 encounter counter
 
 
 def _unit_sphere_dir(key, n, minw=-1.0, maxw=1.0):
@@ -208,10 +209,13 @@ def _channel_extinctions(tab_dev, cells: McCells, cell, ilam, lam_local):
     return ab, sc
 
 
-@partial(jax.jit, static_argnames=("max_steps", "n_quantile", "n_mu"),
+@partial(jax.jit,
+         static_argnames=("max_steps", "n_quantile", "n_mu",
+                          "nmax_encounter"),
          donate_argnums=(2, 3))
 def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
-            max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5):
+            max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
+            nmax_encounter: int = 50_000):
     """Run one batch of packets to completion; returns updated tallies."""
     tab = model.tab
     gi = model.gi
@@ -248,6 +252,11 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
         zmax = cells.zmax[cell]
         length, eps, dirtype, found = geometry.ray_cell_exit_mirror(
             pk.x, pk.y, pk.z, pk.vx, pk.vy, pk.vz, rmin, rmax, zmin, zmax)
+        # a packet whose ray misses its own cell (numerical corner case)
+        # ends as "premature" rather than spinning the batch loop
+        # (reference counts these too, montecarlo.f90:502-504)
+        stuck = active & ~found
+        active = active & found
 
         # local-frame wavelength and its index
         vd = _doppler_vd(model.star_mass, pk.x, pk.y, pk.z, pk.vx, pk.vy)
@@ -360,6 +369,12 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
                         | (ev_dust_abs & is_x)
                         | (dust_abs_keep & cold))
         new_status = jnp.where(active & destro, ST_DESTRUCTED, pk.status)
+        new_status = jnp.where(stuck, ST_PREMATURE, new_status)
+        # encounter-count cap: give up on packets random-walking forever in
+        # ultra-thick cells (reference nmax_encounter, montecarlo.f90:690-693)
+        e_count = pk.e_count + enc.astype(pk.e_count.dtype)
+        new_status = jnp.where(active & (e_count >= nmax_encounter),
+                               ST_PREMATURE, new_status)
 
         # --- non-encounter: cross into next cell or escape ---
         crossed = active & ~enc
@@ -398,7 +413,8 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
             en=pk.en,
             cell=new_cell.astype(pk.cell.dtype),
             tau=new_tau,
-            status=new_status)
+            status=new_status,
+            e_count=e_count)
         tl2 = McTallies(flux=flux, phc=phc, en_gain=en_gain,
                         en_gain_abso=en_gain_abso, ab_en_water=ab_en_water,
                         cr_count=cr_count, collector=collector)
@@ -434,7 +450,8 @@ def launch_packets(model: McModel, key, lam, en, minw, maxw):
     return Packets(x=x, y=y, z=z, vx=vx, vy=vy, vz=vz,
                    lam=jnp.asarray(lam, F), en=jnp.asarray(en, F),
                    cell=jnp.maximum(cell, 0).astype(jnp.int32), tau=tau,
-                   status=status.astype(jnp.int32))
+                   status=status.astype(jnp.int32),
+                   e_count=jnp.zeros(B, dtype=jnp.int32))
 
 
 def update_tdust(tab: optics.McTables, cells: McCells,
