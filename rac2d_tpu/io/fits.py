@@ -83,7 +83,8 @@ def write_cube_fits(path, cube, freqs=None, tau_map=None, int_map=None,
             extra.append(_card("CDELT3", float(freqs[1] - freqs[0])))
         extra.append(_card("CRPIX3", 1))
         extra.append(_card("CTYPE3", "FREQ"))
-    buf = _image_hdu(np.moveaxis(cube, -1, 0), extra, primary=True)
+    # FITS convention: axis 1 = x (fastest), axis 2 = y, axis 3 = freq
+    buf = _image_hdu(np.transpose(cube, (2, 1, 0)), extra, primary=True)
     for name, arr in (("TAUMAP", tau_map), ("INTMAP", int_map),
                       ("COLDENUP", ncol_up), ("COLDENLO", ncol_low),
                       ("FLUXSPEC", spectrum)):

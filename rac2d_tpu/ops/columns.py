@@ -130,8 +130,23 @@ def _locate_host(grid, gi_host, r, z_abs):
     return cell
 
 
-def build_path_matrices(grid, gi_host):
+def build_path_matrices(grid, gi_host, use_native=True):
     """Star-directed and ISM-directed (vertical, upward) path matrices."""
+    if use_native:
+        from ..io import native
+        out_s = native.trace_path_matrix(grid, gi_host, to_ism=False)
+        out_i = native.trace_path_matrix(grid, gi_host, to_ism=True)
+        if out_s is not None and out_i is not None:
+            def mk2(rows, cols, w):
+                order = np.argsort(rows, kind="stable")
+                return PathMatrix(
+                    rows=jnp.asarray(rows[order]),
+                    cols=jnp.asarray(cols[order]),
+                    w=jnp.asarray(w[order] * c.AU2cm),
+                    n_cells=grid.n_cells)
+
+            return mk2(*out_s), mk2(*out_i)
+
     zfar = grid.zmax.max() * 2.0
     rows_s, cols_s, w_s = [], [], []
     rows_i, cols_i, w_i = [], [], []
