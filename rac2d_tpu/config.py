@@ -1,0 +1,102 @@
+"""Single-file model configuration.
+
+Role of the reference's Fortran-namelist configure.dat (reference:
+src/configure.f90:20-94 ``config_do`` reading 10 namelist groups;
+annotated example in the reference README).  Here the configuration is a
+single TOML file with one table per subsystem; unknown keys raise, like
+Fortran namelists would.
+
+Example:
+
+    [star]
+    mass = 0.6
+    T = 4000.0
+    spectrum_file = "tw_hya_spec_combined.dat"
+
+    [disk]
+    Md = 0.05
+    rin = 1.0
+    rout = 200.0
+
+    [grid]
+    ncol = 120
+
+    [[dust]]
+    opti_files = ["silicate_draine.opti"]
+    weights = [1.0]
+    d2g_mass = 0.01
+
+    [chemistry]
+    t_max = 1e6
+
+    [montecarlo]
+    nph = 1000000
+
+    [iteration]
+    n_iter = 8
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import tomllib
+
+from .models import driver
+from .models.density import AndrewsDisk
+from .models.grid import GridConfig
+from .ops.optics import McConfig
+
+
+def _apply(obj, table: dict, name: str):
+    fields = {f.name for f in dataclasses.fields(obj)}
+    for k, v in table.items():
+        if k not in fields:
+            raise KeyError(f"unknown key [{name}] {k}")
+        setattr(obj, k, v)
+    return obj
+
+
+def load_config(path: str) -> driver.DiskConfig:
+    with open(path, "rb") as f:
+        t = tomllib.load(f)
+
+    cfg = driver.DiskConfig()
+    star = t.get("star", {})
+    cfg.star_mass = star.get("mass", cfg.star_mass)
+    cfg.star_radius = star.get("radius", cfg.star_radius)
+    cfg.star_T = star.get("T", cfg.star_T)
+    cfg.star_spectrum_file = star.get("spectrum_file")
+    cfg.lumi_Xray = star.get("lumi_Xray", 0.0)
+    cfg.T_Xray = star.get("T_Xray", 1e7)
+
+    cfg.andrews = _apply(AndrewsDisk(), t.get("disk", {}), "disk")
+    cfg.grid = _apply(GridConfig(), t.get("grid", {}), "grid")
+    cfg.dust = [
+        _apply(driver.DustComponent(opti_files=[], weights=[]), d, "dust")
+        for d in t.get("dust", [])]
+
+    chem = t.get("chemistry", {})
+    cfg.network_file = chem.get("network_file", cfg.network_file)
+    cfg.enthalpy_file = chem.get("enthalpy_file", cfg.enthalpy_file)
+    cfg.init_abundances_file = chem.get("init_abundances_file",
+                                        cfg.init_abundances_file)
+    cfg.h2o_cross_file = chem.get("h2o_cross_file")
+    for k in ("t_max", "dt_first", "ratio_tstep", "rtol_chem", "atol_chem",
+              "evolT", "nlocal_iter", "chem_chunk"):
+        if k in chem:
+            setattr(cfg, k, chem[k])
+
+    mc = dict(t.get("montecarlo", {}))
+    for k in ("n_mc_passes", "maxw"):
+        if k in mc:
+            setattr(cfg, k, mc.pop(k))
+    cfg.mc = _apply(McConfig(), mc, "montecarlo")
+    cfg.nph_per_pass = cfg.mc.nph
+
+    it = t.get("iteration", {})
+    for k in ("n_iter", "rtol_abun", "atol_abun", "converged_fraction",
+              "UV_G0_background", "zeta_cosmicray_H2", "base_alpha",
+              "minimum_Tdust", "dust_depletion"):
+        if k in it:
+            setattr(cfg, k, it[k])
+    return cfg

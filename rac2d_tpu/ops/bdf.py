@@ -25,7 +25,8 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import lu_factor, lu_solve
+
+from .linalg import MPFactor, mp_factor, mp_solve
 
 MAX_ORDER = 5
 NEWTON_MAXITER = 4
@@ -117,9 +118,12 @@ class BDFState(NamedTuple):
     D: jnp.ndarray              # [_NROWS, NEQ]
     n_equal_steps: jnp.ndarray  # int
     J: jnp.ndarray              # [NEQ, NEQ]
-    LU: jnp.ndarray             # [NEQ, NEQ]
-    piv: jnp.ndarray            # [NEQ] int
-    c_lu: jnp.ndarray           # c value baked into LU
+    fac_A: jnp.ndarray          # [NEQ, NEQ] f64 matrix of the factorization
+    fac_s: jnp.ndarray          # [NEQ] row scales
+    fac_cs: jnp.ndarray         # [NEQ] column scales (error weights)
+    fac_lu: jnp.ndarray         # [NEQ, NEQ] f32 LU
+    fac_piv: jnp.ndarray        # [NEQ] int32 pivots
+    c_lu: jnp.ndarray           # c value baked into the factorization
     need_lu: jnp.ndarray        # bool
     jac_fresh: jnp.ndarray      # bool
     fail: jnp.ndarray           # bool
@@ -140,11 +144,11 @@ class BDFResult(NamedTuple):
     n_lu: jnp.ndarray
 
 
-def _newton(f, LU_piv, c, psi, y_pred, scale, tol):
+def _newton(f, fac: MPFactor, c, psi, y_pred, scale, tol):
     """Damped simplified-Newton solve of the BDF algebraic system.
 
     Solves d such that  d = c * f(y_pred + d) - psi  via iterations with a
-    frozen LU of (I - c J).
+    frozen mixed-precision factorization of (I - c J).
     """
     NEQ = y_pred.shape[0]
 
@@ -152,7 +156,7 @@ def _newton(f, LU_piv, c, psi, y_pred, scale, tol):
         k, y, d, dy_norm_old, converged, diverged, nfe = carry
         fy = f(y)
         rhs = c * fy - psi - d
-        dy = lu_solve(LU_piv, rhs)
+        dy = mp_solve(fac, rhs)
         dy_norm = _rms_norm(dy / scale)
         with_old = dy_norm_old > 0.0
         rate = jnp.where(with_old, dy_norm / jnp.maximum(dy_norm_old, 1e-300), 0.0)
@@ -213,17 +217,20 @@ def _step(f, jac, state: BDFState, t_bound, rtol, atol, newton_tol):
         c = h / _ALPHA[state.order]
 
         def refactor(_):
-            lu, piv = lu_factor(eye - c * state.J)
-            return lu, piv, c, state.n_lu + 1
+            fac = mp_factor(eye - c * state.J, col_scale=scale)
+            return (fac.A, fac.row_scale, fac.col_scale, fac.lu, fac.piv,
+                    c, state.n_lu + 1)
 
         def keep(_):
-            return state.LU, state.piv, state.c_lu, state.n_lu
+            return (state.fac_A, state.fac_s, state.fac_cs, state.fac_lu,
+                    state.fac_piv, state.c_lu, state.n_lu)
 
-        LU, piv, c_lu, n_lu = jax.lax.cond(
+        fA, fs, fcs, flu, fpiv, c_lu, n_lu = jax.lax.cond(
             need_lu | (c != state.c_lu), refactor, keep, None)
+        fac = MPFactor(A=fA, row_scale=fs, col_scale=fcs, lu=flu, piv=fpiv)
 
         converged, n_iter, y_new, d, nfe = _newton(
-            f, (LU, piv), c, psi, y_pred, scale, newton_tol)
+            f, fac, c, psi, y_pred, scale, newton_tol)
 
         safety = 0.9 * (2.0 * NEWTON_MAXITER + 1.0) / (
             2.0 * NEWTON_MAXITER + n_iter)
@@ -263,7 +270,8 @@ def _step(f, jac, state: BDFState, t_bound, rtol, atol, newton_tol):
             order=state.order,
             D=D,
             n_equal_steps=jnp.where(do_rescale, 0, state.n_equal_steps),
-            J=J_new, LU=LU, piv=piv, c_lu=c_lu,
+            J=J_new, fac_A=fA, fac_s=fs, fac_cs=fcs, fac_lu=flu,
+            fac_piv=fpiv, c_lu=c_lu,
             need_lu=refresh_jac | do_rescale,
             jac_fresh=jnp.where(refresh_jac, True, state.jac_fresh),
             fail=fail,
@@ -341,8 +349,11 @@ def bdf_solve(f: Callable, jac: Callable, y0, t0, touts, rtol, atol,
         D=D,
         n_equal_steps=jnp.array(0),
         J=J0,
-        LU=jnp.zeros((NEQ, NEQ)),
-        piv=jnp.zeros(NEQ, dtype=jnp.int32),
+        fac_A=jnp.zeros((NEQ, NEQ)),
+        fac_s=jnp.ones(NEQ),
+        fac_cs=jnp.ones(NEQ),
+        fac_lu=jnp.zeros((NEQ, NEQ), dtype=jnp.float32),
+        fac_piv=jnp.zeros(NEQ, dtype=jnp.int32),
         c_lu=jnp.array(jnp.nan),
         need_lu=jnp.array(True),
         jac_fresh=jnp.array(True),

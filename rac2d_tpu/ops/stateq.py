@@ -154,7 +154,8 @@ def solve_stateq(tab: MolTables, env: CellExcEnv, n_newton: int = 30,
         f, it, err = state
         F = resid(f)
         J = jax.jacfwd(resid)(f)
-        dx = jnp.linalg.solve(J, -F)
+        from .linalg import mp_linsolve
+        dx = mp_linsolve(J, -F)
 
         def try_lambda(lam):
             fn = f + lam * dx
