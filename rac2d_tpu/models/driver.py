@@ -256,6 +256,28 @@ class DiskModel:
                      f"{self.Tdust[self.grid.using].max():.1f} K")
 
     # ------------------------------------------------------------------
+    def sed(self, dist_pc=100.0):
+        """Observed SED per viewing-angle bin from the escape collector.
+
+        Role of the reference photon collector output
+        (save_collected_photons_iter, montecarlo.f90:1869-2097): the
+        escaped-packet energy tally [erg/s] per (mu, lambda) bin becomes
+        F_lambda [erg s^-1 cm^-2 A^-1] at the given distance, assuming
+        each mu bin's energy spreads over its solid-angle annulus (x2 for
+        the mirrored lower hemisphere).
+        """
+        coll = np.asarray(self.tallies.collector)   # [n_mu, nlam]
+        lam = np.asarray(self.tab.lam)
+        dlam = np.diff(lam)
+        n_mu = coll.shape[0]
+        dmu = 1.0 / n_mu
+        d2 = (dist_pc * c.pc2cm) ** 2
+        # solid angle of one |mu| bin, both hemispheres: 2 x 2 pi dmu
+        omega_bin = 4.0 * np.pi * dmu
+        F = coll[:, :-1] / dlam[None, :] / (omega_bin * d2)
+        return 0.5 * (lam[1:] + lam[:-1]), F
+
+    # ------------------------------------------------------------------
     def assemble_envs(self, idx):
         """CellEnv/ThermalEnv for the cells in index array idx."""
         cfg = self.cfg

@@ -214,6 +214,14 @@ def make_grid(cfg: GridConfig, andrews: AndrewsDisk,
     col = np.array([l[4] for l in leaves], dtype=np.int64)
     n0 = np.array([_avg_density(dens_fn, *l[:4]) for l in leaves])
     using = n0 > cfg.min_val_considered
+    return build_grid_from_leaves(arr, col, n0, using)
+
+
+def build_grid_from_leaves(arr, col, n0, using) -> Grid:
+    """Assemble the SoA Grid (columns, neighbors, surf/bott) from leaf
+    bounds [n, 4], column ids, densities and the using mask.  Shared by
+    the initial build and the AMR refine/merge rebuilds."""
+    ncol = int(col.max()) + 1 if len(col) else 0
 
     # per-column lists, top -> bottom
     col_cells = []
@@ -228,7 +236,7 @@ def make_grid(cfg: GridConfig, andrews: AndrewsDisk,
 
     # neighbors by shared-edge overlap
     eps = 1e-10
-    n = len(leaves)
+    n = len(arr)
     ab, bl, inn, out = [[] for _ in range(n)], [[] for _ in range(n)], \
         [[] for _ in range(n)], [[] for _ in range(n)]
     xmin, xmax, ymin, ymax = arr.T

@@ -1,0 +1,97 @@
+"""Grid construction, AMR adapt, depletion, RADMC input, vertical balance."""
+
+import numpy as np
+import pytest
+
+from rac2d_tpu import defaults
+from rac2d_tpu.models.density import AndrewsDisk, hayashi_density
+from rac2d_tpu.models.grid import GridConfig, make_grid
+from rac2d_tpu.models import amr, depletion
+
+
+@pytest.fixture(scope="module")
+def small_grid():
+    a = AndrewsDisk(Md=0.01, rin=1.0, rout=50.0, rc=20.0, hc=5.0)
+    return make_grid(GridConfig(rmin=1.0, rmax=50.0, zmax=50.0, ncol=12), a), a
+
+
+def test_grid_invariants(small_grid):
+    g, a = small_grid
+    assert (g.rmax > g.rmin).all()
+    assert (g.zmax > g.zmin).all()
+    # columns tile each radial annulus exactly
+    for icol in range(g.n_columns):
+        m = g.col_cells[g.col_ptr[icol]:g.col_ptr[icol + 1]]
+        order = np.argsort(g.zmin[m])
+        zs = g.zmin[m][order]
+        ze = g.zmax[m][order]
+        np.testing.assert_allclose(zs[1:], ze[:-1], rtol=1e-12)
+
+
+def test_density_positive(small_grid):
+    g, a = small_grid
+    assert (g.n0 >= 0).all()
+    assert a.density(10.0, 0.0) > a.density(10.0, 10.0)
+    assert hayashi_density(1.0, 0.0) > 0
+
+
+def test_amr_refine_roundtrip(small_grid):
+    g, a = small_grid
+    X = np.ones((4, g.n_cells))
+    # force an abundance jump in one cell
+    i0 = int(np.nonzero(g.using)[0][5])
+    X[0, i0] = 1e3
+    mask = amr.need_refine(g, X, np.array([0]), thresh=10.0)
+    assert mask.any()
+    new, parent = amr.adapt_grid(g, mask)
+    assert new.n_cells == g.n_cells + mask.sum()
+    (X2,) = amr.remap_state(parent, X)
+    assert X2.shape[1] == new.n_cells
+    # children inherit the parent abundance
+    kids = np.nonzero(parent == i0)[0]
+    assert len(kids) == 2
+    assert (X2[0, kids] == 1e3).all()
+    # merging those kids back shrinks the grid
+    pairs = [(int(kids[0]), int(kids[1]))]
+    new2, parent2 = amr.adapt_grid(new, np.zeros(new.n_cells, bool), pairs)
+    assert new2.n_cells == new.n_cells - 1
+
+
+def test_depletion_uniform(small_grid, network):
+    g, a = small_grid
+    from rac2d_tpu.io import umist
+    y0 = umist.load_initial_abundances(network, defaults.INIT_ABUNDANCES)
+    X = np.tile(y0[:, None], (1, g.n_cells))
+    cfg = depletion.DepletionConfig(method="uniform", f_depl_O=0.1,
+                                    f_depl_C=0.5)
+    Tg = np.full(g.n_cells, 20.0)
+    X_O_before = X[network.idx["O"]].copy() + X[network.idx["CO"]] \
+        + X[network.idx["H2O"]] + X[network.idx["gH2O"]]
+    depletion.apply_depletion(network, X, g, g.n0, Tg, cfg)
+    X_O_after = X[network.idx["O"]] + X[network.idx["CO"]] \
+        + X[network.idx["H2O"]] + X[network.idx["gH2O"]]
+    assert (X_O_after < X_O_before).all()
+
+
+def test_radmc_loader():
+    from rac2d_tpu.io.radmc import RadmcData
+    d = RadmcData.load(str(defaults.DATA / "radmc_example.dat"))
+    assert d.n.shape == (150, 50)
+    assert float(d.density(10.0, 0.0)) > 0
+    assert float(d.density(1e4, 0.0)) == 0.0
+
+
+def test_vertical_balance(small_grid):
+    g, a = small_grid
+    from rac2d_tpu.ops import vertical
+    T = np.full(g.n_cells, 30.0)
+    rho_d = (g.n0 * 1.4 * 1.67e-24 * 0.01)[None, :]
+    m0 = vertical.disk_gas_mass(g, g.n0)
+    n2, rd2, us2, mx, mn = vertical.pressure_gravity_balance(
+        g, g.n0, T, rho_d, star_mass=0.6,
+        disk_gas_mass_preset=m0)
+    m1 = vertical.disk_gas_mass(
+        g.__class__(**{**g.__dict__, "using": us2}), n2)
+    # total mass preserved by the preset rescale
+    assert m1 == pytest.approx(m0, rel=0.05)
+    assert np.isfinite(n2).all()
