@@ -59,7 +59,8 @@ def main():
     T0b = jnp.asarray(Tg)
 
     solve = jax.jit(lambda y, T: ode.solve_batched(
-        envs, y, T, touts, rtol_b, atol_b, first_step=1e-8, evolT=False))
+        envs, y, T, touts, rtol_b, atol_b, first_step=1e-8, evolT=False,
+        max_steps_per_interval=400))
 
     # warmup/compile
     res = solve(y0b, T0b)

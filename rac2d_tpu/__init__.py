@@ -12,8 +12,18 @@ The Monte Carlo transport and imaging paths run in float32 by explicit
 dtype choice in their kernels — statistical noise dominates there.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Opt-in persistent compilation cache: the batched implicit-solver graphs
+# are expensive to compile; export RAC2D_COMPILE_CACHE=/path to reuse
+# compilations across processes.
+if os.environ.get("RAC2D_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["RAC2D_COMPILE_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from . import constants  # noqa: E402,F401

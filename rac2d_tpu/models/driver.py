@@ -356,9 +356,14 @@ class DiskModel:
 
     # ------------------------------------------------------------------
     def chemistry_step(self, iiter=1):
-        """One full-disk chemistry(+T) sweep, batched over cells."""
+        """One full-disk chemistry(+T) sweep, batched over cells.
+
+        Cells are ordered by density so each vmapped chunk contains
+        similarly-stiff lanes (lock-step batches pay for their slowest
+        lane)."""
         cfg = self.cfg
         act = np.nonzero(self.grid.using)[0]
+        act = act[np.argsort(self.grid.n0[act])]
         touts = jnp.asarray(bdfmod.log_output_times(
             cfg.dt_first, cfg.t_max, cfg.ratio_tstep))
         # initial Tgas guess (reference set_initial_condition_4solver,
@@ -395,6 +400,21 @@ class DiskModel:
             self.X[:, idx[okm]] = yf[okm, :nS].T
             if cfg.evolT:
                 self.Tgas[idx[okm]] = yf[okm, nS]
+            else:
+                # equilibrium-temperature update by bracketed bisection
+                # (reference solve_bisect_T mode,
+                # heating_cooling.f90:1273-1403)
+                yb_full = jnp.asarray(
+                    np.concatenate([yf[:, :nS],
+                                    self.Tgas[idx][:, None]], axis=1))
+                Teq, brk = jax.vmap(
+                    lambda y, e, te, T0: self.thermal.solve_equilibrium_T(
+                        y, e, te, T0, self.ode.tab))(
+                    yb_full, env, tenv, jnp.asarray(
+                        np.maximum(self.Tgas[idx], 2.0)))
+                Teq = np.asarray(Teq)
+                brk_m = np.asarray(brk) & okm
+                self.Tgas[idx[brk_m]] = Teq[brk_m]
             self.quality[idx[~okm]] += 512
             n_done += len(idx)
             self.say(f"  chemistry {n_done}/{len(act)} cells "

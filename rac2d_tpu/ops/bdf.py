@@ -32,6 +32,11 @@ MAX_ORDER = 5
 NEWTON_MAXITER = 4
 MIN_FACTOR = 0.2
 MAX_FACTOR = 10.0
+# keep the Newton factorization while c = h/alpha(order) is within this
+# relative distance of the factorized value (DVODE's gamma test): dense
+# factorizations are the dominant cost, and simplified Newton tolerates a
+# stale matrix
+DELTA_C_REFACTOR = 0.3
 
 # NDF constants (order 0 slot unused)
 _KAPPA = jnp.array([0.0, -0.1850, -1.0 / 9.0, -0.0823, -0.0415, 0.0])
@@ -205,7 +210,7 @@ def _step(f, jac, state: BDFState, t_bound, rtol, atol, newton_tol):
                          lambda D: D, state.D)
         h = h * factor_clamp
         t_new = jnp.where(over, t_bound, t_new_raw)
-        need_lu = state.need_lu | over
+        need_lu = state.need_lu
 
         hmin = 10.0 * jnp.finfo(jnp.float64).eps * jnp.maximum(
             jnp.abs(state.t), jnp.abs(t_new))
@@ -225,8 +230,10 @@ def _step(f, jac, state: BDFState, t_bound, rtol, atol, newton_tol):
             return (state.fac_A, state.fac_s, state.fac_cs, state.fac_lu,
                     state.fac_piv, state.c_lu, state.n_lu)
 
+        c_far = jnp.abs(c / state.c_lu - 1.0) > DELTA_C_REFACTOR
+        c_far = c_far | jnp.isnan(state.c_lu)
         fA, fs, fcs, flu, fpiv, c_lu, n_lu = jax.lax.cond(
-            need_lu | (c != state.c_lu), refactor, keep, None)
+            need_lu | c_far, refactor, keep, None)
         fac = MPFactor(A=fA, row_scale=fs, col_scale=fcs, lu=flu, piv=fpiv)
 
         converged, n_iter, y_new, d, nfe = _newton(
@@ -272,7 +279,7 @@ def _step(f, jac, state: BDFState, t_bound, rtol, atol, newton_tol):
             n_equal_steps=jnp.where(do_rescale, 0, state.n_equal_steps),
             J=J_new, fac_A=fA, fac_s=fs, fac_cs=fcs, fac_lu=flu,
             fac_piv=fpiv, c_lu=c_lu,
-            need_lu=refresh_jac | do_rescale,
+            need_lu=refresh_jac,
             jac_fresh=jnp.where(refresh_jac, True, state.jac_fresh),
             fail=fail,
             n_steps=state.n_steps + accept,
@@ -317,7 +324,6 @@ def _step(f, jac, state: BDFState, t_bound, rtol, atol, newton_tol):
             n_eq >= order + 1, adapt, keep, None)
         return state._replace(
             D=D2, order=new_order, h=h_new, n_equal_steps=n_eq2,
-            need_lu=state.need_lu | rescaled,
             jac_fresh=False)
 
     state = jax.lax.cond(accepted, post,
@@ -383,7 +389,12 @@ def bdf_solve(f: Callable, jac: Callable, y0, t0, touts, rtol, atol,
                 s = s._replace(fail=s.fail | sanity_fn(s.D[0]))
             return s, n + 1
 
-        state, _ = jax.lax.while_loop(cond, body, (state, jnp.array(0)))
+        state, n_used = jax.lax.while_loop(cond, body, (state, jnp.array(0)))
+        # a lane that burned its whole step budget without reaching the
+        # record time gives up (reference "Premature finish" wall-clock
+        # guard, chemistry.f90:480-491) instead of burning every later
+        # interval too
+        state = state._replace(fail=state.fail | (state.t < tout))
         t_rec = jnp.minimum(tout, state.t)
         y_rec = interpolate(state.D, state.order, state.t, state.h, t_rec)
         return state, (t_rec, y_rec)
@@ -408,3 +419,280 @@ def log_output_times(t_start, t_end, ratio=1.1, n_max=None):
         t *= ratio
     ts.append(t_end)
     return np.array(ts)
+
+
+# ==========================================================================
+# Batch-native solver
+# ==========================================================================
+#
+# vmapping bdf_solve works but is wasteful: under vmap every lax.cond
+# becomes a select that evaluates BOTH branches, so a batch pays the dense
+# factorization and Jacobian assembly on every attempt round regardless of
+# the per-lane refresh policy.  The batch-native path below carries [B, ...]
+# state explicitly and makes the expensive refreshes *batch-global scalar*
+# decisions (real branches even in the compiled graph):
+#
+#   - Jacobians refresh when ANY lane is desperate (its Newton failed with
+#     a stale Jacobian — the correctness-critical case);
+#   - factorizations refresh on desperation or every `refac_every` rounds,
+#     living with a stale c = h/alpha in between (DVODE's gamma tolerance).
+#
+# The factorization keeps only (row/col scales, f32 LU, pivots, c_lu);
+# the f64 refinement residual rebuilds A x = x - c J x from the stored
+# Jacobian instead of storing A.
+
+class BDFBatchState(NamedTuple):
+    t: jnp.ndarray          # [B]
+    h: jnp.ndarray          # [B]
+    order: jnp.ndarray      # [B] int
+    D: jnp.ndarray          # [B, _NROWS, NEQ]
+    n_equal: jnp.ndarray    # [B] int
+    J: jnp.ndarray          # [B, NEQ, NEQ]
+    fac_rs: jnp.ndarray     # [B, NEQ] row scales
+    fac_cs: jnp.ndarray     # [B, NEQ] col scales
+    fac_lu: jnp.ndarray     # [B, NEQ, NEQ] f32
+    fac_piv: jnp.ndarray    # [B, NEQ] int32
+    c_lu: jnp.ndarray       # [B]
+    jac_fresh: jnp.ndarray  # [B] bool
+    desperate: jnp.ndarray  # [B] bool: must refresh before next attempt
+    fail: jnp.ndarray       # [B] bool
+    n_steps: jnp.ndarray    # [B]
+    n_feval: jnp.ndarray    # [B]
+    n_jeval: jnp.ndarray    # [B]
+    n_lu: jnp.ndarray       # [B]
+
+
+def _bfac(J, c, col_scale):
+    """Batched row/col-equilibrated f32 factorization of I - c J."""
+    B, NEQ, _ = J.shape
+    eye = jnp.eye(NEQ)
+    A = eye[None] - c[:, None, None] * J
+    Ac = A * col_scale[:, None, :]
+    amax = jnp.max(jnp.abs(Ac), axis=2)
+    rs = jnp.where(amax > 0.0, 1.0 / amax, 1.0)
+    As = (Ac * rs[:, :, None]).astype(jnp.float32)
+    from jax.scipy.linalg import lu_factor
+    lu, piv = jax.vmap(lu_factor)(As)
+    return rs, col_scale, lu, piv
+
+
+def _bsolve(J, c_lu, rs, cs, lu, piv, b, n_refine=2):
+    """Batched mixed-precision solve of (I - c_lu J) x = b."""
+    from jax.scipy.linalg import lu_solve
+
+    def f32_solve(r):
+        rsb = (r * rs).astype(jnp.float32)
+        xp = jax.vmap(lambda l, p, v: lu_solve((l, p), v))(lu, piv, rsb)
+        return xp.astype(jnp.float64) * cs
+
+    def matvec(x):
+        return x - c_lu[:, None] * jnp.einsum("bij,bj->bi", J, x)
+
+    x = f32_solve(b)
+    for _ in range(n_refine):
+        x = x + f32_solve(b - matvec(x))
+    return x
+
+
+def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
+                    atol, first_step, max_steps_per_interval: int = 2000,
+                    sanity_b: Callable | None = None,
+                    refac_every: int = 2) -> BDFResult:
+    """Batched BDF integration.  y0/rtol/atol: [B, NEQ]; f_b/jac_b map
+    [B, NEQ] -> [B, NEQ] / [B, NEQ, NEQ].  Returns BDFResult with leading
+    batch axes (ys: [B, n_out, NEQ])."""
+    y0 = jnp.asarray(y0, dtype=jnp.float64)
+    B, NEQ = y0.shape
+    touts = jnp.asarray(touts, dtype=jnp.float64)
+    t_bound = touts[-1]
+
+    f0 = f_b(y0)
+    J0 = jac_b(y0)
+    D = jnp.zeros((B, _NROWS, NEQ))
+    D = D.at[:, 0].set(y0).at[:, 1].set(first_step * f0)
+    scale0 = atol + rtol * jnp.abs(y0)
+    rs, cs, lu, piv = _bfac(J0, jnp.full(B, first_step / _ALPHA[1]), scale0)
+    state = BDFBatchState(
+        t=jnp.full(B, t0, jnp.float64), h=jnp.full(B, first_step),
+        order=jnp.ones(B, jnp.int32), D=D, n_equal=jnp.zeros(B, jnp.int32),
+        J=J0, fac_rs=rs, fac_cs=cs, fac_lu=lu, fac_piv=piv,
+        c_lu=jnp.full(B, first_step / _ALPHA[1]),
+        jac_fresh=jnp.ones(B, bool), desperate=jnp.zeros(B, bool),
+        fail=jnp.zeros(B, bool), n_steps=jnp.zeros(B, jnp.int64),
+        n_feval=jnp.ones(B, jnp.int64), n_jeval=jnp.ones(B, jnp.int64),
+        n_lu=jnp.ones(B, jnp.int64))
+
+    rtol_min = jnp.min(rtol)
+    newton_tol = jnp.maximum(
+        10 * jnp.finfo(jnp.float64).eps / jnp.maximum(rtol_min, 1e-15),
+        jnp.minimum(0.03, jnp.sqrt(rtol_min)))
+
+    vpredict = jax.vmap(_predict)
+    vpsi = jax.vmap(_psi)
+    vchange = jax.vmap(_change_D)
+    vupdate = jax.vmap(_update_D)
+
+    def round_body(state: BDFBatchState, tout, k_round):
+        active = (state.t < tout) & ~state.fail
+
+        h = state.h
+        t_new_raw = state.t + h
+        over = active & (t_new_raw > t_bound)
+        factor_clamp = jnp.where(over, (t_bound - state.t)
+                                 / jnp.maximum(h, 1e-300), 1.0)
+        D = vchange(state.D, state.order, factor_clamp)
+        h = h * factor_clamp
+        t_new = jnp.where(over, t_bound, t_new_raw)
+        hmin = 10.0 * jnp.finfo(jnp.float64).eps * jnp.maximum(
+            jnp.abs(state.t), jnp.abs(t_new))
+        too_small = h < hmin
+
+        y_pred = vpredict(D, state.order)
+        scale = atol + rtol * jnp.abs(y_pred)
+        psi = vpsi(D, state.order)
+        c = h / _ALPHA[state.order]
+
+        # --- refresh-always policy ---
+        # Per-lane refresh decisions would need lax.cond, which under this
+        # batched loop either evaluates both branches (vmapped predicate)
+        # or degenerates to firing every round (any-lane predicate at
+        # large B).  Refreshing the Jacobian and the f32 factorization
+        # every round keeps the graph branch-free, feeds the MXU steady
+        # batched work, and makes the simplified Newton effectively exact
+        # (1-2 iterations); the extra factorizations are the price, paid
+        # in cheap f32.
+        J = jac_b(y_pred)
+        n_jeval = state.n_jeval + active
+        jac_fresh = jnp.ones_like(state.jac_fresh)
+        rs, cs, lu, piv = _bfac(J, c, scale)
+        c_lu = c
+        n_lu = state.n_lu + active
+
+        # --- Newton (NEWTON_MAXITER masked iterations; body traced once) ---
+        def newton_body(it, carry):
+            y, d, dy_norm_old, converged, diverged, nfe = carry
+            going = active & ~converged & ~diverged
+            fy = f_b(y)
+            nfe = nfe + going
+            rhs = c[:, None] * fy - psi - d
+            dy = _bsolve(J, c_lu, rs, cs, lu, piv, rhs)
+            dy_norm = jax.vmap(_rms_norm)(dy / scale)
+            with_old = dy_norm_old > 0.0
+            rate = jnp.where(with_old,
+                             dy_norm / jnp.maximum(dy_norm_old, 1e-300), 0.0)
+            bad = with_old & (
+                (rate >= 1.0)
+                | (rate ** (NEWTON_MAXITER - it)
+                   / jnp.maximum(1.0 - rate, 1e-10) * dy_norm > newton_tol))
+            bad = bad | ~jnp.isfinite(dy_norm)
+            step_ok = going & ~bad
+            y = jnp.where(step_ok[:, None], y + dy, y)
+            d = jnp.where(step_ok[:, None], d + dy, d)
+            conv_now = step_ok & (
+                (dy_norm == 0.0)
+                | (with_old & (rate / jnp.maximum(1.0 - rate, 1e-10)
+                               * dy_norm < newton_tol)))
+            converged = converged | conv_now
+            diverged = diverged | (going & bad)
+            dy_norm_old = jnp.where(going, dy_norm, dy_norm_old)
+            return (y, d, dy_norm_old, converged, diverged, nfe)
+
+        y, d, dy_norm_old, converged, diverged, nfe = jax.lax.fori_loop(
+            0, NEWTON_MAXITER, newton_body,
+            (y_pred, jnp.zeros_like(y_pred), jnp.zeros(B),
+             jnp.zeros(B, bool), jnp.zeros(B, bool), state.n_feval))
+        safety = jnp.full(B, 0.9 * (2.0 * NEWTON_MAXITER + 1.0)
+                          / (2.0 * NEWTON_MAXITER + NEWTON_MAXITER))
+
+        # --- outcome handling ---
+        newton_fail = active & ~converged
+        # desperate: failed with a (currently) stale Jacobian
+        desperate = newton_fail & ~jac_fresh
+        # halve: failed with a fresh Jacobian
+        halve = newton_fail & jac_fresh
+        scale_new = atol + rtol * jnp.abs(y)
+        err = jax.vmap(_rms_norm)(
+            _ERR_CONST[state.order][:, None] * d / scale_new)
+        error_norm = jnp.where(converged, err, jnp.inf)
+        reject = active & converged & (error_norm > 1.0)
+        factor_rej = jnp.maximum(
+            MIN_FACTOR,
+            safety * error_norm ** (-1.0 / (state.order + 1.0)))
+        accept = active & converged & ~reject
+
+        factor = jnp.where(halve, 0.5, jnp.where(reject, factor_rej, 1.0))
+        do_rescale = halve | reject
+        D = vchange(D, state.order, jnp.where(do_rescale, factor, 1.0))
+        h_next = jnp.where(do_rescale, h * factor, h)
+        fail = state.fail | (active & too_small & ~accept) \
+            | ~jnp.isfinite(h_next)
+        if sanity_b is not None:
+            fail = fail | (accept & sanity_b(y))
+
+        # --- post-accept: difference update + adaptation ---
+        D_acc = vupdate(D, state.order, d)
+        D = jnp.where(accept[:, None, None], D_acc, D)
+        n_eq = jnp.where(accept, state.n_equal + 1,
+                         jnp.where(do_rescale, 0, state.n_equal))
+
+        adapt = accept & (n_eq >= state.order + 1)
+        y_new = D[:, 0]
+        scale_a = atol + rtol * jnp.abs(y_new)
+        em = jax.vmap(_rms_norm)(
+            _ERR_CONST[state.order - 1][:, None]
+            * jnp.take_along_axis(
+                D, state.order[:, None, None], axis=1)[:, 0] / scale_a)
+        ep = jax.vmap(_rms_norm)(
+            _ERR_CONST[state.order + 1][:, None]
+            * jnp.take_along_axis(
+                D, (state.order + 2)[:, None, None], axis=1)[:, 0] / scale_a)
+        em = jnp.where(state.order > 1, em, jnp.inf)
+        ep = jnp.where(state.order < MAX_ORDER, ep, jnp.inf)
+        norms = jnp.stack([em, error_norm, ep], axis=1)      # [B, 3]
+        expo = -1.0 / (state.order[:, None]
+                       + jnp.arange(3, dtype=jnp.float64)[None, :])
+        factors = jnp.where(norms > 0.0, norms ** expo, MAX_FACTOR * 2)
+        best = jnp.argmax(factors, axis=1)
+        new_order = jnp.clip(state.order + best - 1, 1, MAX_ORDER)
+        fac_adapt = jnp.clip(safety
+                             * jnp.take_along_axis(factors, best[:, None],
+                                                   axis=1)[:, 0],
+                             MIN_FACTOR, MAX_FACTOR)
+        order2 = jnp.where(adapt, new_order, state.order).astype(jnp.int32)
+        D = vchange(D, order2, jnp.where(adapt, fac_adapt, 1.0))
+        h_next = jnp.where(adapt, h_next * fac_adapt, h_next)
+        n_eq = jnp.where(adapt, 0, n_eq)
+
+        return BDFBatchState(
+            t=jnp.where(accept, t_new, state.t), h=h_next, order=order2,
+            D=D, n_equal=n_eq, J=J, fac_rs=rs, fac_cs=cs, fac_lu=lu,
+            fac_piv=piv, c_lu=c_lu,
+            jac_fresh=jnp.where(accept, False, jac_fresh),
+            desperate=desperate, fail=fail,
+            n_steps=state.n_steps + accept, n_feval=nfe, n_jeval=n_jeval,
+            n_lu=n_lu, )
+
+    def record(state, tout):
+        def cond(carry):
+            s, k = carry
+            return jnp.any((s.t < tout) & ~s.fail) \
+                & (k < max_steps_per_interval)
+
+        def body(carry):
+            s, k = carry
+            return round_body(s, tout, k), k + 1
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.array(0)))
+        state = state._replace(fail=state.fail | (state.t < tout))
+        t_rec = jnp.minimum(tout, state.t)
+        y_rec = jax.vmap(interpolate)(
+            state.D, state.order, state.t, state.h, t_rec)
+        return state, (t_rec, y_rec)
+
+    state, (ts, ys) = jax.lax.scan(record, state, touts)
+    # scan stacks outputs on axis 0 = record index; move batch first
+    ts = jnp.moveaxis(ts, 0, 1)
+    ys = jnp.moveaxis(ys, 0, 1)
+    return BDFResult(ts=ts, ys=ys, t_final=state.t, fail=state.fail,
+                     n_steps=state.n_steps, n_feval=state.n_feval,
+                     n_jeval=state.n_jeval, n_lu=state.n_lu)

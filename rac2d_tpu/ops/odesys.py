@@ -146,21 +146,39 @@ class ChemicalODE:
 
     def solve_batched(self, envs: CellEnv, y0_species, Tgas0, touts, rtol,
                       atol, first_step=1e-8, evolT: bool = False, tenvs=None,
-                      max_steps_per_interval: int = 2000) -> bdfmod.BDFResult:
-        """vmap over cells: envs/tenvs fields and y0/T0/rtol/atol carry a
-        leading batch axis; touts is shared."""
-        if tenvs is None:
-            def one(env, y0, T0, rt, at):
-                return self.solve(env, y0, T0, touts, rt, at, first_step,
-                                  evolT, None, max_steps_per_interval)
+                      max_steps_per_interval: int = 2000,
+                      refac_every: int = 2) -> bdfmod.BDFResult:
+        """Batch-native solve: envs/tenvs fields and y0/T0/rtol/atol carry
+        a leading batch axis; touts is shared.  Uses bdf_solve_batch so
+        Jacobian/factorization refreshes are batch-global branches (a
+        vmapped per-lane solver would evaluate them every round)."""
 
-            return jax.vmap(one)(envs, y0_species, Tgas0, rtol, atol)
+        def f_b(yb):
+            def one(y, env, tenv):
+                return self.make_f(env, evolT, tenv)(y)
 
-        def one(env, tenv, y0, T0, rt, at):
-            return self.solve(env, y0, T0, touts, rt, at, first_step,
-                              evolT, tenv, max_steps_per_interval)
+            if tenvs is None:
+                return jax.vmap(lambda y, e: self.make_f(e, evolT, None)(y))(
+                    yb, envs)
+            return jax.vmap(one)(yb, envs, tenvs)
 
-        return jax.vmap(one)(envs, tenvs, y0_species, Tgas0, rtol, atol)
+        def jac_b(yb):
+            def one(y, env, tenv):
+                return self.make_jac(env, evolT, tenv)(y)
+
+            if tenvs is None:
+                return jax.vmap(
+                    lambda y, e: self.make_jac(e, evolT, None)(y))(yb, envs)
+            return jax.vmap(one)(yb, envs, tenvs)
+
+        def sanity_b(yb):
+            return jax.vmap(self._sanity(evolT))(yb)
+
+        y0 = jnp.concatenate(
+            [jnp.asarray(y0_species), jnp.asarray(Tgas0)[:, None]], axis=1)
+        return bdfmod.bdf_solve_batch(
+            f_b, jac_b, y0, 0.0, touts, rtol, atol, first_step,
+            max_steps_per_interval, sanity_b, refac_every)
 
 
 def tolerance_ladder(net: ChemNet, level: int, rtol0: float, atol0: float,

@@ -82,3 +82,28 @@ def test_log_output_times():
     assert ts[0] == 1e-8
     assert ts[-1] == 1e6
     assert len(ts) > 300
+
+
+def test_batch_matches_single():
+    from rac2d_tpu.ops.bdf import bdf_solve_batch
+    f, jac = _robertson()
+    B = 4
+    f_b = jax.vmap(f)
+    jac_b = jax.vmap(jac)
+    touts = jnp.asarray(np.logspace(-3, 3, 8))
+    rtol = jnp.full(3, 1e-6)
+    atol = jnp.full(3, 1e-10)
+    y0 = jnp.array([1.0, 0.0, 0.0])
+    res1 = bdf_solve(f, jac, y0, 0.0, touts, rtol, atol, 1e-6)
+    y0b = jnp.tile(y0, (B, 1))
+    resb = bdf_solve_batch(f_b, jac_b, y0b, 0.0, touts,
+                           jnp.tile(rtol, (B, 1)), jnp.tile(atol, (B, 1)),
+                           1e-6)
+    assert resb.ys.shape == (B, 8, 3)
+    assert not bool(resb.fail.any())
+    # all batch lanes agree with each other and with the single solver to
+    # within the requested tolerance
+    ref = np.asarray(res1.ys)
+    for b in range(B):
+        d = np.abs(np.asarray(resb.ys[b]) - ref)
+        assert (d < 50 * (1e-6 * np.abs(ref) + 1e-10)).all()
