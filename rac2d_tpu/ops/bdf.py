@@ -497,7 +497,7 @@ def _bsolve(J, c_lu, rs, cs, lu, piv, b, n_refine=2):
 def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
                     atol, first_step, max_steps_per_interval: int = 2000,
                     sanity_b: Callable | None = None,
-                    refac_every: int = 2) -> BDFResult:
+                    refac_every: int = 2, n_refine: int = 1) -> BDFResult:
     """Batched BDF integration.  y0/rtol/atol: [B, NEQ]; f_b/jac_b map
     [B, NEQ] -> [B, NEQ] / [B, NEQ, NEQ].  Returns BDFResult with leading
     batch axes (ys: [B, n_out, NEQ])."""
@@ -575,7 +575,7 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
             fy = f_b(y)
             nfe = nfe + going
             rhs = c[:, None] * fy - psi - d
-            dy = _bsolve(J, c_lu, rs, cs, lu, piv, rhs)
+            dy = _bsolve(J, c_lu, rs, cs, lu, piv, rhs, n_refine)
             dy_norm = jax.vmap(_rms_norm)(dy / scale)
             with_old = dy_norm_old > 0.0
             rate = jnp.where(with_old,

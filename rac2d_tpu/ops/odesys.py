@@ -147,7 +147,8 @@ class ChemicalODE:
     def solve_batched(self, envs: CellEnv, y0_species, Tgas0, touts, rtol,
                       atol, first_step=1e-8, evolT: bool = False, tenvs=None,
                       max_steps_per_interval: int = 2000,
-                      refac_every: int = 2) -> bdfmod.BDFResult:
+                      refac_every: int = 2,
+                      n_refine: int = 1) -> bdfmod.BDFResult:
         """Batch-native solve: envs/tenvs fields and y0/T0/rtol/atol carry
         a leading batch axis; touts is shared.  Uses bdf_solve_batch so
         Jacobian/factorization refreshes are batch-global branches (a
@@ -178,7 +179,7 @@ class ChemicalODE:
             [jnp.asarray(y0_species), jnp.asarray(Tgas0)[:, None]], axis=1)
         return bdfmod.bdf_solve_batch(
             f_b, jac_b, y0, 0.0, touts, rtol, atol, first_step,
-            max_steps_per_interval, sanity_b, refac_every)
+            max_steps_per_interval, sanity_b, refac_every, n_refine)
 
 
 def tolerance_ladder(net: ChemNet, level: int, rtol0: float, atol0: float,
