@@ -82,7 +82,8 @@ def load_config(path: str) -> driver.DiskConfig:
                                         cfg.init_abundances_file)
     cfg.h2o_cross_file = chem.get("h2o_cross_file")
     for k in ("t_max", "dt_first", "ratio_tstep", "rtol_chem", "atol_chem",
-              "evolT", "nlocal_iter", "chem_chunk"):
+              "evolT", "nlocal_iter", "chem_chunk",
+              "max_steps_per_interval"):
         if k in chem:
             setattr(cfg, k, chem[k])
 
@@ -99,4 +100,27 @@ def load_config(path: str) -> driver.DiskConfig:
               "minimum_Tdust", "dust_depletion"):
         if k in it:
             setattr(cfg, k, it[k])
+
+    if "heating_cooling" in t:
+        from .ops.thermal import HcConfig
+        hc = t["heating_cooling"]
+        fields = {f.name for f in dataclasses.fields(HcConfig)}
+        bad = set(hc) - fields
+        if bad:
+            raise KeyError(f"unknown key [heating_cooling] {bad}")
+        cfg.hc = HcConfig(**hc)
     return cfg
+
+
+def load_extras(path: str) -> dict:
+    """Non-DiskConfig sections: [output], [continuum], [[lines]] — the
+    imaging/output stages of the reference's second invocation
+    (src/main.f90:66-105)."""
+    with open(path, "rb") as f:
+        t = tomllib.load(f)
+    out = dict(t.get("output", {}))
+    if "continuum" in t:
+        out["continuum"] = t["continuum"]
+    if "lines" in t:
+        out["lines"] = t["lines"]
+    return out

@@ -75,6 +75,10 @@ class DiskConfig:
     atol_chem: float = 1e-30
     nlocal_iter: int = 4
     chem_chunk: int = 256
+    # per-output-interval BDF round budget; lanes that cannot reach the
+    # next output time within it are marked failed ("Premature finish",
+    # reference chemistry.f90:480-491 wall-clock guard analogue)
+    max_steps_per_interval: int = 500
     # MC control
     mc: optics.McConfig = None
     n_mc_passes: int = 3
@@ -85,6 +89,8 @@ class DiskConfig:
     base_alpha: float = 0.01
     minimum_Tdust: float = 1.0
     dust_depletion: float = 1.0
+    # heating/cooling switches incl. gas-dust exchange + dynamic alpha
+    hc: thermal.HcConfig = dataclasses.field(default_factory=thermal.HcConfig)
 
 
 class DiskModel:
@@ -106,7 +112,7 @@ class DiskModel:
         self.net = umist.load_network(cfg.network_file, cfg.enthalpy_file)
         self.y0 = umist.load_initial_abundances(
             self.net, cfg.init_abundances_file)
-        self.thermal = thermal.ThermalBalance(self.net)
+        self.thermal = thermal.ThermalBalance(self.net, config=cfg.hc)
         self.ode = odesys.ChemicalODE(self.net, thermal=self.thermal)
 
         self.say("loading dust optics...")
@@ -131,6 +137,13 @@ class DiskModel:
         self.mc_cfg = cfg.mc or optics.McConfig(nph=cfg.nph_per_pass)
         self.tab = optics.build_tables(self.mixtures, self.mc_cfg,
                                        h2o_lam, h2o_sig)
+        if cfg.hc.tdust_iter_tandem or cfg.hc.dust_gas_linear_couple:
+            # gas-dust exchange modes need the Tdust(energy) LUT, which
+            # only exists once the optics tables are built
+            self.thermal = thermal.ThermalBalance(
+                self.net, config=cfg.hc,
+                tdust_lut=(self.tab.lut_Tds, self.tab.lut_vals))
+            self.ode = odesys.ChemicalODE(self.net, thermal=self.thermal)
 
         self.say("preparing star...")
         if cfg.star_spectrum_file:
@@ -344,6 +357,10 @@ class DiskModel:
                 np.asarray(self.tallies.en_gain)[:, idx]).T
             @ jnp.eye(self.n_dust, 4) + jnp.where(
                 jnp.arange(4) >= self.n_dust, jnp.inf, 0.0),
+            mdusts_cell=jnp.asarray(
+                (self.n_dusts[:, idx] * self.vol[None, idx])
+                * np.array([m.pmass for m in self.mixtures])[:, None]).T
+            @ jnp.eye(self.n_dust, 4),
             volume=take(self.vol),
         )
         return env, tenv
@@ -375,11 +392,11 @@ class DiskModel:
         abun_prev = self.X.copy()
         for lo in range(0, len(act), cfg.chem_chunk):
             idx = act[lo:lo + cfg.chem_chunk]
+            t_chunk = time.time()
             env, tenv = self.assemble_envs(idx)
             y0b = jnp.asarray(self.X[:, idx].T)
             T0b = jnp.asarray(self.Tgas[idx])
             level = 1
-            remaining = np.arange(len(idx))
             for level in range(1, cfg.nlocal_iter + 1):
                 rtol, atol = odesys.tolerance_ladder(
                     self.net, level, cfg.rtol_chem, cfg.atol_chem,
@@ -388,13 +405,18 @@ class DiskModel:
                 atol_b = jnp.tile(atol, (len(idx), 1))
                 res = self.ode.solve_batched(
                     env, y0b, T0b, touts, rtol_b, atol_b,
-                    first_step=cfg.dt_first, evolT=cfg.evolT, tenvs=tenv)
+                    first_step=cfg.dt_first, evolT=cfg.evolT, tenvs=tenv,
+                    max_steps_per_interval=cfg.max_steps_per_interval)
                 ok = ~np.asarray(res.fail)
                 if ok.all() or level == cfg.nlocal_iter:
                     break
                 self.say(f"    chunk {lo // cfg.chem_chunk}: "
                          f"{int((~ok).sum())} cells failed at level "
                          f"{level}; relaxing tolerances")
+            self.say(f"    chunk {lo // cfg.chem_chunk}: {len(idx)} cells, "
+                     f"{int(np.asarray(res.n_steps).sum())} steps, "
+                     f"{int((~ok).sum())} failed, "
+                     f"{time.time() - t_chunk:.1f}s (level {level})")
             yf = np.asarray(res.ys[:, -1, :])
             okm = ~np.asarray(res.fail)
             self.X[:, idx[okm]] = yf[okm, :nS].T
@@ -433,7 +455,7 @@ class DiskModel:
 
     # ------------------------------------------------------------------
     def run(self, n_iter=None):
-        n_iter = n_iter or self.cfg.n_iter
+        n_iter = self.cfg.n_iter if n_iter is None else n_iter
         self.say("initial Monte Carlo (Tdust bootstrap)...")
         self.run_mc()
         for it in range(1, n_iter + 1):

@@ -215,7 +215,8 @@ def make_continuum_cube(disk, lam_A, theta, nx=201, ny=201,
     """Dust continuum image at wavelengths lam_A (reference
     make_cubes_continuum, ray_tracing.f90:39-126)."""
     g = disk.grid
-    freqs = c.SpeedOfLight_CGS / (np.asarray(lam_A) * c.Angstrom2cm)
+    lam_A = np.atleast_1d(np.asarray(lam_A, dtype=float))
+    freqs = c.SpeedOfLight_CGS / (lam_A * c.Angstrom2cm)
     kext = np.stack([np.interp(lam_A, m.lam, m.kab + m.ksc)
                      for m in disk.mixtures])
     cells = raytrace.RtCells(

@@ -447,14 +447,6 @@ class BDFBatchState(NamedTuple):
     order: jnp.ndarray      # [B] int
     D: jnp.ndarray          # [B, _NROWS, NEQ]
     n_equal: jnp.ndarray    # [B] int
-    J: jnp.ndarray          # [B, NEQ, NEQ]
-    fac_rs: jnp.ndarray     # [B, NEQ] row scales
-    fac_cs: jnp.ndarray     # [B, NEQ] col scales
-    fac_lu: jnp.ndarray     # [B, NEQ, NEQ] f32
-    fac_piv: jnp.ndarray    # [B, NEQ] int32
-    c_lu: jnp.ndarray       # [B]
-    jac_fresh: jnp.ndarray  # [B] bool
-    desperate: jnp.ndarray  # [B] bool: must refresh before next attempt
     fail: jnp.ndarray       # [B] bool
     n_steps: jnp.ndarray    # [B]
     n_feval: jnp.ndarray    # [B]
@@ -462,8 +454,27 @@ class BDFBatchState(NamedTuple):
     n_lu: jnp.ndarray       # [B]
 
 
+# Factorization backend for the batched solver's f32 LU.
+#   'block' — blocked no-pivot matmul LU (ops.blocklu).  Default: faster
+#             than vmapped LuDecomposition on TPU (MXU matmuls vs a
+#             serialized generic routine) AND on CPU (vectorized vs a
+#             per-matrix LAPACK loop), and in batch chemistry tests it
+#             converges lanes the pivoted f32 path loses.
+#   'xla'   — XLA LuDecomposition (row-pivoted), kept for debugging.
+BATCH_LU_BACKEND = "block"
+
+
+def _use_block_lu() -> bool:
+    return BATCH_LU_BACKEND == "block"
+
+
 def _bfac(J, c, col_scale):
-    """Batched row/col-equilibrated f32 factorization of I - c J."""
+    """Batched row/col-equilibrated f32 factorization of I - c J.
+
+    Returns an opaque (rs, cs, fac32) tuple for _bsolve.  On TPU the f32
+    factorization is the blocked no-pivot matmul LU (ops.blocklu) — XLA's
+    LuDecomposition serializes badly there; equilibration plus the f64
+    refinement in _bsolve covers the lost pivoting (see blocklu.py)."""
     B, NEQ, _ = J.shape
     eye = jnp.eye(NEQ)
     A = eye[None] - c[:, None, None] * J
@@ -471,19 +482,33 @@ def _bfac(J, c, col_scale):
     amax = jnp.max(jnp.abs(Ac), axis=2)
     rs = jnp.where(amax > 0.0, 1.0 / amax, 1.0)
     As = (Ac * rs[:, :, None]).astype(jnp.float32)
+    if _use_block_lu():
+        from .blocklu import block_lu
+        return rs, col_scale, jax.vmap(block_lu)(As)
     from jax.scipy.linalg import lu_factor
     lu, piv = jax.vmap(lu_factor)(As)
-    return rs, col_scale, lu, piv
+    return rs, col_scale, (lu, piv)
 
 
-def _bsolve(J, c_lu, rs, cs, lu, piv, b, n_refine=2):
+def _bsolve(J, c_lu, fac, b, n_refine=2):
     """Batched mixed-precision solve of (I - c_lu J) x = b."""
-    from jax.scipy.linalg import lu_solve
+    rs, cs, fac32 = fac
+
+    if _use_block_lu():
+        from .blocklu import block_lu_solve
+
+        def raw_solve(rsb):
+            return jax.vmap(block_lu_solve)(fac32, rsb)
+    else:
+        from jax.scipy.linalg import lu_solve
+        lu, piv = fac32
+
+        def raw_solve(rsb):
+            return jax.vmap(lambda l, p, v: lu_solve((l, p), v))(lu, piv, rsb)
 
     def f32_solve(r):
         rsb = (r * rs).astype(jnp.float32)
-        xp = jax.vmap(lambda l, p, v: lu_solve((l, p), v))(lu, piv, rsb)
-        return xp.astype(jnp.float64) * cs
+        return raw_solve(rsb).astype(jnp.float64) * cs
 
     def matvec(x):
         return x - c_lu[:, None] * jnp.einsum("bij,bj->bi", J, x)
@@ -507,20 +532,14 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
     t_bound = touts[-1]
 
     f0 = f_b(y0)
-    J0 = jac_b(y0)
     D = jnp.zeros((B, _NROWS, NEQ))
     D = D.at[:, 0].set(y0).at[:, 1].set(first_step * f0)
-    scale0 = atol + rtol * jnp.abs(y0)
-    rs, cs, lu, piv = _bfac(J0, jnp.full(B, first_step / _ALPHA[1]), scale0)
     state = BDFBatchState(
         t=jnp.full(B, t0, jnp.float64), h=jnp.full(B, first_step),
         order=jnp.ones(B, jnp.int32), D=D, n_equal=jnp.zeros(B, jnp.int32),
-        J=J0, fac_rs=rs, fac_cs=cs, fac_lu=lu, fac_piv=piv,
-        c_lu=jnp.full(B, first_step / _ALPHA[1]),
-        jac_fresh=jnp.ones(B, bool), desperate=jnp.zeros(B, bool),
         fail=jnp.zeros(B, bool), n_steps=jnp.zeros(B, jnp.int64),
-        n_feval=jnp.ones(B, jnp.int64), n_jeval=jnp.ones(B, jnp.int64),
-        n_lu=jnp.ones(B, jnp.int64))
+        n_feval=jnp.ones(B, jnp.int64), n_jeval=jnp.zeros(B, jnp.int64),
+        n_lu=jnp.zeros(B, jnp.int64))
 
     rtol_min = jnp.min(rtol)
     newton_tol = jnp.maximum(
@@ -563,8 +582,7 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
         # in cheap f32.
         J = jac_b(y_pred)
         n_jeval = state.n_jeval + active
-        jac_fresh = jnp.ones_like(state.jac_fresh)
-        rs, cs, lu, piv = _bfac(J, c, scale)
+        fac = _bfac(J, c, scale)
         c_lu = c
         n_lu = state.n_lu + active
 
@@ -575,7 +593,7 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
             fy = f_b(y)
             nfe = nfe + going
             rhs = c[:, None] * fy - psi - d
-            dy = _bsolve(J, c_lu, rs, cs, lu, piv, rhs, n_refine)
+            dy = _bsolve(J, c_lu, fac, rhs, n_refine)
             dy_norm = jax.vmap(_rms_norm)(dy / scale)
             with_old = dy_norm_old > 0.0
             rate = jnp.where(with_old,
@@ -605,11 +623,9 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
                           / (2.0 * NEWTON_MAXITER + NEWTON_MAXITER))
 
         # --- outcome handling ---
-        newton_fail = active & ~converged
-        # desperate: failed with a (currently) stale Jacobian
-        desperate = newton_fail & ~jac_fresh
-        # halve: failed with a fresh Jacobian
-        halve = newton_fail & jac_fresh
+        # the Jacobian is always fresh (refresh-always), so a Newton
+        # failure goes straight to step halving
+        halve = active & ~converged
         scale_new = atol + rtol * jnp.abs(y)
         err = jax.vmap(_rms_norm)(
             _ERR_CONST[state.order][:, None] * d / scale_new)
@@ -665,10 +681,7 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
 
         return BDFBatchState(
             t=jnp.where(accept, t_new, state.t), h=h_next, order=order2,
-            D=D, n_equal=n_eq, J=J, fac_rs=rs, fac_cs=cs, fac_lu=lu,
-            fac_piv=piv, c_lu=c_lu,
-            jac_fresh=jnp.where(accept, False, jac_fresh),
-            desperate=desperate, fail=fail,
+            D=D, n_equal=n_eq, fail=fail,
             n_steps=state.n_steps + accept, n_feval=nfe, n_jeval=n_jeval,
             n_lu=n_lu, )
 

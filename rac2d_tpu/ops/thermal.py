@@ -50,6 +50,16 @@ class HcConfig:
     heating_eff_phd_H2O: float = 0.1
     heating_eff_phd_OH: float = 0.1
     cooling_gg_coeff: float = 0.3
+    # when False, alpha_viscosity in ThermalEnv is the *base* alpha and the
+    # effective value is modulated by the ambipolar-diffusion MRI fit from
+    # the instantaneous ion fraction (reference src/disk.f90:30,3415-3427)
+    use_fixed_alpha_visc: bool = True
+    # gas<->dust energy-exchange modes (reference a_disk flags
+    # src/disk.f90:31,35 + tandem Tdust re-solve src/disk.f90:4702-4721);
+    # both need a Tdust(energy) LUT passed to ThermalBalance(tdust_lut=...)
+    allow_gas_dust_en_exch: bool = False
+    tdust_iter_tandem: bool = False
+    dust_gas_linear_couple: bool = False
 
 
 class ThermalEnv(NamedTuple):
@@ -70,6 +80,7 @@ class ThermalEnv(NamedTuple):
     sig_dusts: jnp.ndarray            # [4]
     Tdusts: jnp.ndarray               # [4]
     en_gains: jnp.ndarray             # [4] erg/s absorbed per cell (MC)
+    mdusts_cell: jnp.ndarray          # [4] dust mass per cell, g
     volume: jnp.ndarray               # cm^3
 
     @staticmethod
@@ -81,7 +92,7 @@ class ThermalEnv(NamedTuple):
             Neufeld_dv_dz=1e-9,
             n_dusts=jnp.zeros(4), sig_dusts=jnp.zeros(4),
             Tdusts=jnp.zeros(4), en_gains=jnp.full(4, jnp.inf),
-            volume=1.0)
+            mdusts_cell=jnp.zeros(4), volume=1.0)
         d.update(kw)
         return ThermalEnv(**{k: jnp.asarray(v, dtype=jnp.float64)
                              for k, v in d.items()})
@@ -149,9 +160,17 @@ class ThermalBalance:
     """Holds static data (tables, species indices, reaction heats)."""
 
     def __init__(self, net: ChemNet, config: HcConfig = HcConfig(),
-                 data_dir: str | None = None):
+                 data_dir: str | None = None, tdust_lut=None):
         self.cfg = config
         self.net = net
+        # (lut_Tds [nT], lut_vals [n_dust, nT]) from ops.optics.McTables:
+        # the cumulative kappa_abs*B integral used by get_Tdust_from_LUT
+        # (reference montecarlo.f90:1487-1526); enables the tandem and
+        # linear-couple gas-dust exchange modes
+        self.tdust_lut = None
+        if tdust_lut is not None:
+            self.tdust_lut = (jnp.asarray(tdust_lut[0], jnp.float64),
+                              jnp.asarray(tdust_lut[1], jnp.float64))
         ddir = pathlib.Path(data_dir) if data_dir else tables.DATA_DIR
         self.neufeld_h2 = tables.NeufeldH2()
         self.neufeld_h2o = tables.NeufeldH2O()
@@ -176,6 +195,10 @@ class ThermalBalance:
         tab = build_rate_tables(net)
         gh63 = np.nonzero(np.asarray(tab.is_gH_63))[0]
         self.i_gH63 = int(gh63[0]) if len(gh63) else -1
+        # positive charge per species, for the dynamic-alpha ion fraction
+        # (reference get_ion_charge_y, src/disk.f90:3446-3460)
+        self.pos_charge = jnp.asarray(
+            np.clip(net.elements[:, 0], 0, None).astype(float))
 
     # -- helpers ----------------------------------------------------------
     def _chi_uv(self, env: CellEnv):
@@ -186,6 +209,83 @@ class ThermalBalance:
         return (env.G0_UV_toISM * _exp(-c.UVext2Av * env.Av_toISM)
                 * env.f_selfshielding_toISM[1]
                 + env.G0_UV_H2phd * env.f_selfshielding_toStar[1])
+
+    def _lut_Td(self, vals_j, val):
+        """Energy-per-dust-mass -> Tdust (forward interp on the cumulative
+        emission LUT, reference get_Tdust_from_LUT montecarlo.f90:856)."""
+        Tds = self.tdust_lut[0]
+        nT = vals_j.shape[0]
+        i = jnp.clip(jnp.searchsorted(vals_j, val), 1, nT - 1)
+        t = (val - vals_j[i - 1]) / jnp.maximum(vals_j[i] - vals_j[i - 1],
+                                                1e-300)
+        Tv = Tds[i - 1] + jnp.clip(t, 0.0, 1.0) * (Tds[i] - Tds[i - 1])
+        Tv = jnp.where(val <= vals_j[0],
+                       Tds[0] * val / jnp.maximum(vals_j[0], 1e-300), Tv)
+        return jnp.where(val >= vals_j[-1], Tds[-1], Tv)
+
+    def _lut_val(self, vals_j, Td):
+        """Tdust -> energy per dust mass (inverse of _lut_Td)."""
+        Tds = self.tdust_lut[0]
+        nT = Tds.shape[0]
+        i = jnp.clip(jnp.searchsorted(Tds, Td), 1, nT - 1)
+        t = (Td - Tds[i - 1]) / jnp.maximum(Tds[i] - Tds[i - 1], 1e-300)
+        return vals_j[i - 1] + jnp.clip(t, 0.0, 1.0) \
+            * (vals_j[i] - vals_j[i - 1])
+
+    def _tandem_tdusts(self, Tg, coeff_i, tenv: ThermalEnv):
+        """Re-solve each component's Tdust with the gas-collision energy
+        included: Td = LUT((en_gain + en_exchange(Tg,Td)) / 4 pi m_dust),
+        damped-Newton with secant slope, fixed iteration count
+        (reference solve_a_Tdust, src/disk.f90:4536-4548)."""
+        import jax
+        Tds, vals = self.tdust_lut
+        nd = vals.shape[0]
+        gains = tenv.en_gains[:nd]
+        gains = jnp.where(jnp.isfinite(gains), gains, 0.0)
+        inv4pm = 1.0 / jnp.maximum(
+            4.0 * jnp.pi * tenv.mdusts_cell[:nd], TINY)
+        active = (tenv.n_dusts[:nd] > 1e-20) \
+            & (tenv.mdusts_cell[:nd] > TINY)
+
+        def en_ex(Td):
+            per_vol = coeff_i[:nd] * (Tg - Td)
+            return jnp.maximum(per_vol * tenv.volume,
+                               -FRAC_DUST_LOSE_EN * gains)
+
+        def body(_, Td):
+            Ts1 = jax.vmap(self._lut_Td)(vals, (gains + en_ex(Td)) * inv4pm)
+            dTd = 1e-2 * Td + 1e-1
+            Ts2 = jax.vmap(self._lut_Td)(
+                vals, (gains + en_ex(Td + dTd)) * inv4pm)
+            kk = (Ts2 - Ts1) / dTd
+            prop = jnp.where(jnp.abs(1.0 - kk) <= 1e-15, Td,
+                             (Ts1 - kk * Td) / (1.0 - kk))
+            # damped + clamped: when the exchange term saturates the LUT,
+            # the undamped Newton ping-pongs between the LUT endpoints;
+            # halving the step makes it contract instead
+            prop = jnp.clip(prop, 0.0, Tds[-1])
+            Td_new = 0.5 * (Td + prop)
+            ok = active & (Td_new > 0.0) & jnp.isfinite(Td_new)
+            return jnp.where(ok, Td_new, Td)
+
+        import jax.lax as lax
+        Td = lax.fori_loop(0, 16, body, tenv.Tdusts[:nd])
+        return tenv.Tdusts.at[:nd].set(Td)
+
+    def _demit_dtd(self, Td_i, tenv: ThermalEnv):
+        """d(emitted power per volume)/dTdust per component from the LUT
+        slope (reference get_dEmit_dTd, src/disk.f90:4550-4562)."""
+        import jax
+        Tds, vals = self.tdust_lut
+        nd = vals.shape[0]
+        Td = Td_i[:nd]
+        dT = 1e-2 * Td + 1e-2
+        e1 = jax.vmap(self._lut_val)(vals, Td)
+        e2 = jax.vmap(self._lut_val)(vals, Td + dT)
+        slope = (e2 - e1) / dT * 4.0 * jnp.pi * tenv.mdusts_cell[:nd] \
+            / jnp.maximum(tenv.volume, TINY)
+        out = jnp.zeros_like(Td_i)
+        return out.at[:nd].set(jnp.maximum(slope, 0.0))
 
     def h2_form_rate(self, k_gH63_per_sec, X_gH, X_HI, n_gas):
         """dn(H2)/dt from grain surface (reference disk.f90:4302-4315,
@@ -310,9 +410,23 @@ class ThermalBalance:
         # 10. viscous (alpha-disk)
         rho = n * c.mProton_CGS * tenv.MeanMolWeight
         c2 = c.kBoltzmann_CGS * Tpos / (c.mProton_CGS * tenv.MeanMolWeight)
+        if cfg.use_fixed_alpha_visc:
+            alpha = tenv.alpha_viscosity
+        else:
+            # ambipolar-diffusion-modulated MRI alpha from the current ion
+            # fraction (reference src/disk.f90:3391-3427,4737; the 2e-9
+            # ion-neutral collision beta is src/disk.f90:191)
+            ysp = y[:self.net.n_species]
+            ion = jnp.sum(jnp.where(ysp >= 1e-30, ysp, 0.0)
+                          * self.pos_charge)
+            am = n * ion * 2e-9 / jnp.maximum(tenv.omega_Kepler, TINY)
+            la = jnp.log(jnp.maximum(am, 1e-20))
+            fmri = 0.5 / jnp.sqrt(2500.0 * jnp.exp(-2.4 * la)
+                                  + (8.0 * jnp.exp(-0.3 * la) + 1.0) ** 2)
+            alpha = jnp.where(am <= 1e-20, 0.0, fmri) * tenv.alpha_viscosity
         h_visc = jnp.where(
             T > 0,
-            2.25 * tenv.alpha_viscosity * rho * c2 * tenv.omega_Kepler
+            2.25 * alpha * rho * c2 * tenv.omega_Kepler
             * _pos(1.0 - T / 2e4),
             0.0)
 
@@ -355,7 +469,20 @@ class ThermalBalance:
         base = 2.0 * c.kBoltzmann_CGS * f_a * n * (
             cs_H * (X_HI + X_Hplus) + cs_H2 * X_H2)
         coeff_i = base * tenv.sig_dusts * tenv.n_dusts
-        dT_i = T - tenv.Tdusts
+        if cfg.allow_gas_dust_en_exch and cfg.tdust_iter_tandem \
+                and self.tdust_lut is not None:
+            Td_i = self._tandem_tdusts(Tpos, coeff_i, tenv)
+        else:
+            Td_i = tenv.Tdusts
+        dT_i = T - Td_i
+        if cfg.dust_gas_linear_couple and self.tdust_lut is not None:
+            # damp the gas-dust temperature difference by how fast dust
+            # emission responds (reference heating_cooling.f90:775-777
+            # with dEmit_dTd from src/disk.f90:4550-4562; here the slope
+            # comes directly from the Tdust LUT instead of an FD on the
+            # operating point — same quantity, no statefulness)
+            demit = self._demit_dtd(Td_i, tenv)
+            dT_i = dT_i * demit / jnp.maximum(demit + coeff_i, TINY)
         clamp = -FRAC_DUST_LOSE_EN * tenv.en_gains / tenv.volume
         en_ex = jnp.maximum(coeff_i * dT_i, clamp)
         c_gg = jnp.where(T > 0, jnp.sum(en_ex), 0.0)

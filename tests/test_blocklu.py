@@ -1,0 +1,56 @@
+"""Blocked no-pivot LU (ops/blocklu.py) unit tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rac2d_tpu.ops.blocklu import BK, block_lu, block_lu_solve
+
+
+def _well_conditioned(n, rng, dtype=np.float64):
+    A = rng.standard_normal((n, n)).astype(dtype)
+    A += n * np.eye(n, dtype=dtype)          # diagonally dominant
+    return A
+
+
+def test_single_solve_f64():
+    rng = np.random.default_rng(0)
+    n = 150                                   # exercises padding (not %64)
+    A = _well_conditioned(n, rng)
+    b = rng.standard_normal(n)
+    fac = block_lu(jnp.asarray(A))
+    x = np.asarray(block_lu_solve(fac, jnp.asarray(b)))
+    assert np.abs(A @ x - b).max() / np.abs(b).max() < 1e-10
+
+
+def test_single_solve_f32():
+    rng = np.random.default_rng(1)
+    n = BK * 2
+    A = _well_conditioned(n, rng, np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    fac = block_lu(jnp.asarray(A))
+    x = np.asarray(block_lu_solve(fac, jnp.asarray(b)))
+    assert np.abs(A @ x - b).max() / np.abs(b).max() < 1e-4
+
+
+def test_batch_vmap_matches_loop():
+    rng = np.random.default_rng(2)
+    B, n = 5, 70
+    A = np.stack([_well_conditioned(n, rng) for _ in range(B)])
+    b = rng.standard_normal((B, n))
+    facs = jax.vmap(block_lu)(jnp.asarray(A))
+    xs = np.asarray(jax.vmap(block_lu_solve)(facs, jnp.asarray(b)))
+    for i in range(B):
+        xi = np.asarray(block_lu_solve(block_lu(jnp.asarray(A[i])),
+                                       jnp.asarray(b[i])))
+        assert np.allclose(xs[i], xi, rtol=1e-12, atol=1e-12)
+        assert np.abs(A[i] @ xs[i] - b[i]).max() < 1e-8
+
+
+def test_pivot_floor_handles_zero_diagonal_start():
+    # leading zero diagonal entry: no-pivot LU survives via the floor +
+    # the caller's iterative refinement contract (here: just finiteness)
+    A = jnp.asarray(np.array([[0.0, 1.0], [1.0, 0.0]]))
+    fac = block_lu(A)
+    x = block_lu_solve(fac, jnp.asarray(np.array([1.0, 2.0])))
+    assert np.isfinite(np.asarray(x)).all()

@@ -69,6 +69,52 @@ def test_thermal_rates_finite(network):
             assert float(getattr(r, f)) >= 0.0, f
 
 
+def test_thermal_tandem_and_dynamic_alpha(network):
+    """Gas-dust tandem exchange + ambipolar alpha modes stay finite and
+    move in the physical direction (hot gas warms dust -> smaller Tg-Td
+    gap -> less gas-grain cooling than the frozen-Tdust value)."""
+    from rac2d_tpu.ops import thermal
+    from rac2d_tpu.ops.rates import CellEnv, build_rate_tables, compute_rates
+
+    # synthetic monotone Tdust(energy) LUT: val ~ T^4 (gray body)
+    Tds = np.linspace(1.0, 2000.0, 256)
+    vals = (5.67e-5 / np.pi) * Tds ** 4
+    lut = (Tds, vals[None, :])
+    cfg = thermal.HcConfig(allow_gas_dust_en_exch=True,
+                           tdust_iter_tandem=True,
+                           use_fixed_alpha_visc=False)
+    tb = thermal.ThermalBalance(network, config=cfg, tdust_lut=lut)
+    tb0 = thermal.ThermalBalance(network)
+    d2g = 2.8e-12
+    n_gas = 1e10
+    env = CellEnv.default(Tgas=300.0, Tdust=50.0, n_gas=n_gas,
+                          ratioDust2HnucNum=d2g, ndust_tot=d2g * n_gas)
+    kw = dict(
+        n_dusts=jnp.array([d2g * n_gas, 0, 0, 0]),
+        sig_dusts=jnp.array([np.pi * 1e-10, 0, 0, 0]),
+        Tdusts=jnp.array([50.0, 0, 0, 0]),
+        en_gains=jnp.array([1e-8, jnp.inf, jnp.inf, jnp.inf]),
+        mdusts_cell=jnp.array([1e10, 0, 0, 0]),
+        volume=1e40, omega_Kepler=1e-8, alpha_viscosity=0.01)
+    tenv = thermal.ThermalEnv.default(**kw)
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(np.concatenate(
+        [rng.uniform(1e-12, 1e-4, network.n_species), [300.0]]))
+    tab = build_rate_tables(network)
+    k = compute_rates(tab, env, env.Tgas)
+    r = tb.rates(y, 300.0, env, tenv, k)
+    r0 = tb0.rates(y, 300.0, env, tenv, k)
+    for f in r._fields:
+        assert np.isfinite(float(getattr(r, f))), f
+    # dust thermalizes toward the gas -> the residual exchange is far
+    # below the frozen-Tdust cooling, bounded below by the energy floor
+    floor = -0.8 * 1e-8 / 1e40
+    assert floor * 1.01 <= float(r.cooling_gas_grain) \
+        < 0.01 * float(r0.cooling_gas_grain)
+    # dynamic alpha with ions present is below base-alpha heating
+    assert 0.0 <= float(r.heating_viscosity) <= float(r0.heating_viscosity)
+
+
 def test_path_matrix_vertical_column():
     """ISM matrix of a simple grid: N_col equals the analytic overburden."""
     from rac2d_tpu.models.density import AndrewsDisk
