@@ -66,6 +66,16 @@ def main(argv=None):
                    "flam_per_mu_bin": [[float(v) for v in row]
                                        for row in flam]}, f)
 
+    # --- per-point chemical analysis ----------------------------------
+    ana = extras.get("analysis")
+    if ana and not args.skip_chemistry:
+        from .ops import analysis
+        files = analysis.analyse_model_points(
+            m, ana.get("points", []), ana.get("species", ["CO", "H2O"]),
+            outdir / "ana")
+        for fp in files:
+            m.say(f"wrote {fp}")
+
     # --- continuum images ---------------------------------------------
     cont = extras.get("continuum")
     if cont:

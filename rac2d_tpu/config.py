@@ -97,7 +97,11 @@ def load_config(path: str) -> driver.DiskConfig:
     it = t.get("iteration", {})
     for k in ("n_iter", "rtol_abun", "atol_abun", "converged_fraction",
               "UV_G0_background", "zeta_cosmicray_H2", "base_alpha",
-              "minimum_Tdust", "dust_depletion"):
+              "minimum_Tdust", "dust_depletion",
+              "do_vertical_with_Tdust", "n_vert_iter_tdust",
+              "do_vertical_every", "disk_gas_mass_preset",
+              "do_refine", "do_merge", "refine_watch_species",
+              "refine_threshold", "merge_tol"):
         if k in it:
             setattr(cfg, k, it[k])
 
@@ -123,4 +127,6 @@ def load_extras(path: str) -> dict:
         out["continuum"] = t["continuum"]
     if "lines" in t:
         out["lines"] = t["lines"]
+    if "analysis" in t:
+        out["analysis"] = t["analysis"]
     return out

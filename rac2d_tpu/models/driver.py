@@ -91,6 +91,20 @@ class DiskConfig:
     dust_depletion: float = 1.0
     # heating/cooling switches incl. gas-dust exchange + dynamic alpha
     hc: thermal.HcConfig = dataclasses.field(default_factory=thermal.HcConfig)
+    # hydrostatic vertical structure (reference
+    # do_vertical_struct_with_Tdust, disk.f90:984-1093) and in-loop
+    # re-balancing every k-th iteration (disk.f90:224-394 main loop)
+    do_vertical_with_Tdust: bool = False
+    n_vert_iter_tdust: int = 4
+    do_vertical_every: int = 0        # 0 = off
+    disk_gas_mass_preset: float | None = None
+    # AMR refine/merge during iteration (reference do_refine/merge_cells,
+    # disk.f90:3646-4033)
+    do_refine: bool = False
+    do_merge: bool = False
+    refine_watch_species: tuple = ("H2", "H2O", "CO", "E-")
+    refine_threshold: float = 10.0
+    merge_tol: float = 1.5
 
 
 class DiskModel:
@@ -174,30 +188,13 @@ class DiskModel:
         self.n_dust = len(self.mixtures)
         mu = 1.4 * c.mProton_CGS
         rho_gas = g.n0 * mu
-        rho_dust = np.stack([rho_gas * dc.d2g_mass for dc in cfg.dust])
-        vol = g.volumes_cm3()
-        pmass = np.array([m.pmass for m in self.mixtures])
-        n_dusts = rho_dust / pmass[:, None]
-        sig_dusts = np.array([np.pi * m.r2av for m in self.mixtures]) \
+        self.rho_dust = np.stack([rho_gas * dc.d2g_mass
+                                  for dc in cfg.dust])
+        self.pmass = np.array([m.pmass for m in self.mixtures])
+        self.sig_dusts = np.array([np.pi * m.r2av for m in self.mixtures]) \
             * c.micron2cm ** 2
-        sig_nd = n_dusts * sig_dusts[:, None]
-        self.abso_wei = sig_nd / np.maximum(sig_nd.sum(0), 1e-300)
-        self.rho_dust = rho_dust
-        self.n_dusts = n_dusts
-        self.sig_dusts = sig_dusts
-        self.vol = vol
-        self.d2h = n_dusts.sum(0) / np.maximum(g.n0, 1e-300)
-        self.grain_a = np.full(n, np.sqrt(
-            sum(m.r2av for m in self.mixtures) / self.n_dust) * c.micron2cm)
         self.r2av = np.array([m.r2av for m in self.mixtures])
-        rc, zc = g.centers()
-        self.r_cells = rc
-        self.z_cells = zc
-        self.omega_K = np.sqrt(c.GravitationConst_CGS * cfg.star_mass
-                               * c.Msun_CGS / (rc * c.AU2cm) ** 3)
-        self.velo_grad = 0.5 * np.sqrt(
-            c.GravitationConst_CGS * cfg.star_mass * c.Msun_CGS
-            / (rc * c.AU2cm)) / (rc * c.AU2cm)
+        self._derive_cell_state()
 
         # --- evolving state ---
         self.X = np.tile(self.y0[:, None], (1, n))        # [nS, n]
@@ -207,6 +204,109 @@ class DiskModel:
         self.fields = None
         self.quality = np.zeros(n, dtype=np.int64)
         self.say(f"prepare done in {time.time() - t0:.1f}s")
+
+    # ------------------------------------------------------------------
+    def _derive_cell_state(self):
+        """Per-cell quantities derived from (grid, rho_dust); re-run after
+        any density (vertical balance) or geometry (AMR) change."""
+        cfg = self.cfg
+        g = self.grid
+        n = g.n_cells
+        n_dusts = self.rho_dust / self.pmass[:, None]
+        sig_nd = n_dusts * self.sig_dusts[:, None]
+        self.abso_wei = sig_nd / np.maximum(sig_nd.sum(0), 1e-300)
+        self.n_dusts = n_dusts
+        self.vol = g.volumes_cm3()
+        self.d2h = n_dusts.sum(0) / np.maximum(g.n0, 1e-300)
+        self.grain_a = np.full(n, np.sqrt(
+            sum(m.r2av for m in self.mixtures) / self.n_dust) * c.micron2cm)
+        rc, zc = g.centers()
+        self.r_cells = rc
+        self.z_cells = zc
+        self.omega_K = np.sqrt(c.GravitationConst_CGS * cfg.star_mass
+                               * c.Msun_CGS / (rc * c.AU2cm) ** 3)
+        self.velo_grad = 0.5 * np.sqrt(
+            c.GravitationConst_CGS * cfg.star_mass * c.Msun_CGS
+            / (rc * c.AU2cm)) / (rc * c.AU2cm)
+
+    def vertical_adjust(self):
+        """Hydrostatic re-balance of the gas column using the current
+        Tdust (reference vertical_structure.f90 `_alt` path; called from
+        the Tdust bootstrap and every do_vertical_every iterations)."""
+        from ..ops import vertical
+        cfg = self.cfg
+        m_before = vertical.disk_gas_mass(self.grid, self.grid.n0)
+        n_new, rho_d_new, using_new, maxf, minf = \
+            vertical.pressure_gravity_balance(
+                self.grid, self.grid.n0,
+                np.maximum(self.Tdust, cfg.minimum_Tdust), self.rho_dust,
+                cfg.star_mass, use_Tdust=True, pmass=self.pmass,
+                disk_gas_mass_preset=cfg.disk_gas_mass_preset)
+        self.grid.n0 = n_new
+        self.grid.using = using_new
+        self.rho_dust = rho_d_new
+        self._derive_cell_state()
+        m_after = vertical.disk_gas_mass(self.grid, self.grid.n0)
+        self.say(f"  vertical balance: gas mass {m_before:.4e} -> "
+                 f"{m_after:.4e} Msun, rescale range [{minf:.3g}, {maxf:.3g}]")
+        # reference convergence test (disk.f90:1082-1085): all per-pair
+        # rescale factors within [0.5, 2]
+        return (maxf <= 2.0) and (minf >= 0.5)
+
+    def vertical_bootstrap(self):
+        """Alternate MC + hydrostatic passes until the gas mass settles
+        (reference do_vertical_struct_with_Tdust, disk.f90:984-1093)."""
+        cfg = self.cfg
+        for j in range(cfg.n_vert_iter_tdust):
+            self.say(f"vertical-structure pass {j + 1}/"
+                     f"{cfg.n_vert_iter_tdust}")
+            self.run_mc(seed=1000 + j)
+            if self.vertical_adjust() and j >= 1:
+                self.say("  vertical structure converged (with Tdust)")
+                break
+
+    def amr_step(self):
+        """Refine/merge the vertical grid on chemistry fronts, then remap
+        all per-cell state and rebuild geometry-dependent structures
+        (reference do_refine/merge_cells + remake_index,
+        disk.f90:3646-4033,3887)."""
+        from . import amr
+        cfg = self.cfg
+        watch = [self.net.idx[s] for s in cfg.refine_watch_species
+                 if s in self.net.idx]
+        mask = amr.need_refine(self.grid, self.X, np.asarray(watch),
+                               thresh=cfg.refine_threshold,
+                               min_dz=cfg.grid.smallest_cell_size)
+        pairs = []
+        if cfg.do_merge and self.fields is not None:
+            pairs = amr.need_merge(
+                self.grid, self.grid.n0, self.Tdust,
+                np.asarray(self.fields.Av_toStar), tol=cfg.merge_tol)
+            # never merge a pair involving a refine-marked cell
+            pairs = [(a, b) for a, b in pairs if not (mask[a] or mask[b])]
+        if not mask.any() and not pairs:
+            return False
+        self.say(f"  AMR: refining {int(mask.sum())} cells, "
+                 f"merging {len(pairs)} pairs")
+        new_grid, parent = amr.adapt_grid(self.grid, mask, pairs)
+        self.grid = new_grid
+        self.gi = geometry.build_grid_index(new_grid)
+        self.W_star, self.W_ism = columns.build_path_matrices(
+            new_grid, self.gi)
+        # remap evolving per-cell state from parents
+        self.X = self.X[:, parent]
+        self.Tgas = self.Tgas[parent]
+        self.Tdust = self.Tdust[parent]
+        self.Tdusts = self.Tdusts[:, parent]
+        self.quality = self.quality[parent]
+        self.rho_dust = self.rho_dust[:, parent]
+        self._derive_cell_state()
+        # radiation fields are stale on the new mesh; the next MC pass
+        # rebuilds them
+        self.fields = None
+        self.say(f"  AMR: grid now {new_grid.n_cells} cells, "
+                 f"{int(new_grid.using.sum())} active")
+        return True
 
     # ------------------------------------------------------------------
     def mc_cells(self) -> mcrt.McCells:
@@ -456,6 +556,8 @@ class DiskModel:
     # ------------------------------------------------------------------
     def run(self, n_iter=None):
         n_iter = self.cfg.n_iter if n_iter is None else n_iter
+        if self.cfg.do_vertical_with_Tdust:
+            self.vertical_bootstrap()
         self.say("initial Monte Carlo (Tdust bootstrap)...")
         self.run_mc()
         for it in range(1, n_iter + 1):
@@ -466,4 +568,9 @@ class DiskModel:
             if frac >= self.cfg.converged_fraction:
                 self.say("converged.")
                 break
+            if self.cfg.do_vertical_every > 0 \
+                    and it % self.cfg.do_vertical_every == 0 and it < n_iter:
+                self.vertical_adjust()
+            if self.cfg.do_refine and it < n_iter:
+                self.amr_step()
         return self

@@ -84,3 +84,73 @@ def elemental_residence(net: ChemNet, y, n_top=10):
         out[ele] = [(net.species[j], contrib[j] / tot)
                     for j in order if abs(contrib[j]) > 1e-90 * tot]
     return out
+
+
+def analyse_model_points(model, points, species_list, out_dir, n_top=20):
+    """Write the reference's ana/ introspection files for chosen (r, z)
+    points of an iterated DiskModel (reference chem_analyse,
+    src/disk.f90:4036-4300 + points_to_analyse.dat): per point, the cell
+    state, the top production/destruction reactions for each requested
+    species, the heating/cooling budget, and the elemental residence.
+
+    Returns the list of written file paths.
+    """
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from .rates import compute_rates
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    g = model.grid
+    net = model.net
+    written = []
+    for (r_au, z_au) in points:
+        # nearest active cell by center distance (the reference walks the
+        # tree; cells here are few enough for a direct argmin)
+        rc, zc = g.centers()
+        act = np.nonzero(g.using)[0]
+        i = int(act[np.argmin((rc[act] - r_au) ** 2 + (zc[act] - z_au) ** 2)])
+        env, tenv = model.assemble_envs(np.array([i]))
+        env1 = jax.tree.map(lambda a: a[0], env)
+        tenv1 = jax.tree.map(lambda a: a[0], tenv)
+        y = np.concatenate([model.X[:, i], [model.Tgas[i]]])
+        k = np.asarray(compute_rates(model.ode.tab, env1,
+                                     jnp.asarray(model.Tgas[i])))
+        rates = reaction_rates(net, k, y, float(env1.ratioDust2HnucNum),
+                               float(env1.SitesPerGrain))
+        path = out / f"ana_r{r_au:g}_z{z_au:g}.txt"
+        with open(path, "w") as f:
+            f.write(f"# point ({r_au}, {z_au}) AU -> cell {i} "
+                    f"[{g.rmin[i]:.3g},{g.rmax[i]:.3g}]x"
+                    f"[{g.zmin[i]:.3g},{g.zmax[i]:.3g}]\n")
+            f.write(f"n_gas = {g.n0[i]:.6e} cm^-3\n")
+            f.write(f"Tgas  = {model.Tgas[i]:.2f} K\n")
+            f.write(f"Tdust = {model.Tdust[i]:.2f} K\n\n")
+            for spe in species_list:
+                if spe not in net.species:
+                    continue
+                f.write(f"== {spe}  X = {model.X[net.idx[spe], i]:.6e} ==\n")
+                prod, dest = species_contributions(net, rates, spe, n_top)
+                f.write("  production:\n")
+                for rate, frac, s in prod:
+                    f.write(f"    {rate: .6e}  {frac:6.1%}  {s}\n")
+                f.write("  destruction:\n")
+                for rate, frac, s in dest:
+                    f.write(f"    {rate: .6e}  {frac:6.1%}  {s}\n")
+            if model.thermal is not None and model.fields is not None:
+                hc = model.thermal.rates(jnp.asarray(y),
+                                         jnp.asarray(model.Tgas[i]),
+                                         env1, tenv1, jnp.asarray(k))
+                f.write("\n== heating/cooling [erg cm^-3 s^-1] ==\n")
+                for name in hc._fields:
+                    f.write(f"  {name:32s} {float(getattr(hc, name)): .6e}\n")
+                f.write(f"  {'net':32s} {float(hc.net()): .6e}\n")
+            f.write("\n== elemental residence ==\n")
+            for ele, lst in elemental_residence(net, y).items():
+                f.write(f"  {ele}: " + ", ".join(
+                    f"{s} ({v:.1%})" for s, v in lst) + "\n")
+        written.append(str(path))
+    return written
