@@ -493,6 +493,13 @@ class DiskModel:
         for lo in range(0, len(act), cfg.chem_chunk):
             idx = act[lo:lo + cfg.chem_chunk]
             t_chunk = time.time()
+            # pad the last chunk to full width: one compiled shape for
+            # the entire sweep, and the batch stays divisible by the
+            # device mesh
+            n_real = len(idx)
+            if n_real < cfg.chem_chunk:
+                idx = np.concatenate(
+                    [idx, np.repeat(idx[-1:], cfg.chem_chunk - n_real)])
             env, tenv = self.assemble_envs(idx)
             y0b = jnp.asarray(self.X[:, idx].T)
             T0b = jnp.asarray(self.Tgas[idx])
@@ -503,22 +510,36 @@ class DiskModel:
                     float(self.d2h.mean()))
                 rtol_b = jnp.tile(rtol, (len(idx), 1))
                 atol_b = jnp.tile(atol, (len(idx), 1))
-                res = self.ode.solve_batched(
-                    env, y0b, T0b, touts, rtol_b, atol_b,
-                    first_step=cfg.dt_first, evolT=cfg.evolT, tenvs=tenv,
-                    max_steps_per_interval=cfg.max_steps_per_interval)
-                ok = ~np.asarray(res.fail)
+                if jax.device_count() > 1 and len(idx) % \
+                        jax.device_count() == 0:
+                    # shard the cell batch across the device mesh (pure
+                    # data parallelism; SURVEY.md §2 parallelism item 2)
+                    from ..parallel import mesh as meshmod
+                    res = meshmod.sharded_chemistry_solve(
+                        meshmod.make_mesh(), self.ode, env, tenv, y0b,
+                        T0b, touts, rtol_b, atol_b, cfg.dt_first,
+                        cfg.evolT,
+                        max_steps_per_interval=cfg.max_steps_per_interval)
+                else:
+                    res = self.ode.solve_batched(
+                        env, y0b, T0b, touts, rtol_b, atol_b,
+                        first_step=cfg.dt_first, evolT=cfg.evolT,
+                        tenvs=tenv,
+                        max_steps_per_interval=cfg.max_steps_per_interval)
+                ok = ~np.asarray(res.fail)[:n_real]
                 if ok.all() or level == cfg.nlocal_iter:
                     break
                 self.say(f"    chunk {lo // cfg.chem_chunk}: "
                          f"{int((~ok).sum())} cells failed at level "
                          f"{level}; relaxing tolerances")
-            self.say(f"    chunk {lo // cfg.chem_chunk}: {len(idx)} cells, "
-                     f"{int(np.asarray(res.n_steps).sum())} steps, "
+            self.say(f"    chunk {lo // cfg.chem_chunk}: {n_real} cells, "
+                     f"{int(np.asarray(res.n_steps)[:n_real].sum())} steps, "
                      f"{int((~ok).sum())} failed, "
                      f"{time.time() - t_chunk:.1f}s (level {level})")
-            yf = np.asarray(res.ys[:, -1, :])
-            okm = ~np.asarray(res.fail)
+            # drop padded lanes before scattering results back
+            idx = idx[:n_real]
+            yf = np.asarray(res.ys[:n_real, -1, :])
+            okm = ok
             self.X[:, idx[okm]] = yf[okm, :nS].T
             if cfg.evolT:
                 self.Tgas[idx[okm]] = yf[okm, nS]
@@ -529,18 +550,21 @@ class DiskModel:
                 yb_full = jnp.asarray(
                     np.concatenate([yf[:, :nS],
                                     self.Tgas[idx][:, None]], axis=1))
+                env_r = jax.tree.map(lambda a: a[:n_real], env)
+                tenv_r = jax.tree.map(lambda a: a[:n_real], tenv)
                 Teq, brk = jax.vmap(
                     lambda y, e, te, T0: self.thermal.solve_equilibrium_T(
                         y, e, te, T0, self.ode.tab))(
-                    yb_full, env, tenv, jnp.asarray(
+                    yb_full, env_r, tenv_r, jnp.asarray(
                         np.maximum(self.Tgas[idx], 2.0)))
                 Teq = np.asarray(Teq)
                 brk_m = np.asarray(brk) & okm
                 self.Tgas[idx[brk_m]] = Teq[brk_m]
             self.quality[idx[~okm]] += 512
-            n_done += len(idx)
+            n_done += n_real
             self.say(f"  chemistry {n_done}/{len(act)} cells "
-                     f"(steps median {int(np.median(res.n_steps))})")
+                     f"(steps median "
+                     f"{int(np.median(np.asarray(res.n_steps)[:n_real]))})")
         # convergence bookkeeping on the 10 key species (reference
         # check_convergency_cell, disk.f90:1901-1915)
         ki = self.net.key_species_idx

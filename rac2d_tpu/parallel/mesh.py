@@ -50,9 +50,12 @@ def replicate(mesh: Mesh, arr):
 
 
 def sharded_chemistry_solve(mesh: Mesh, ode, envs, tenvs, y0b, T0b, touts,
-                            rtol_b, atol_b, first_step, evolT):
+                            rtol_b, atol_b, first_step, evolT,
+                            max_steps_per_interval=2000):
     """Batched chemistry solve with the cell batch sharded over the whole
-    mesh (both axes flattened): pure data parallelism, no collectives."""
+    mesh (both axes flattened): pure data parallelism over lanes; the
+    only collectives are the tiny any-lane-active reductions of the
+    round loop."""
     flat = Mesh(mesh.devices.reshape(-1), axis_names=("d",))
     sh = NamedSharding(flat, P("d"))
     put = lambda t: jax.tree.map(lambda a: jax.device_put(a, sh), t)
@@ -62,7 +65,8 @@ def sharded_chemistry_solve(mesh: Mesh, ode, envs, tenvs, y0b, T0b, touts,
     T0b = jax.device_put(T0b, sh)
     return ode.solve_batched(envs, y0b, T0b, touts, rtol_b, atol_b,
                              first_step=first_step, evolT=evolT,
-                             tenvs=tenvs)
+                             tenvs=tenvs,
+                             max_steps_per_interval=max_steps_per_interval)
 
 
 def mc_pass_sharded(mesh: Mesh, model, key, packets, tallies, **kw):
