@@ -455,17 +455,20 @@ class BDFBatchState(NamedTuple):
 
 
 # Factorization backend for the batched solver's f32 LU.
-#   'block' — blocked no-pivot matmul LU (ops.blocklu).  Default: faster
-#             than vmapped LuDecomposition on TPU (MXU matmuls vs a
-#             serialized generic routine) AND on CPU (vectorized vs a
-#             per-matrix LAPACK loop), and in batch chemistry tests it
-#             converges lanes the pivoted f32 path loses.
-#   'xla'   — XLA LuDecomposition (row-pivoted), kept for debugging.
+#   'block'  — blocked no-pivot matmul LU (ops.blocklu).  Default: faster
+#              than vmapped LuDecomposition on TPU (MXU matmuls vs a
+#              serialized generic routine) AND on CPU (vectorized vs a
+#              per-matrix LAPACK loop), and in batch chemistry tests it
+#              converges lanes the pivoted f32 path loses.
+#   'pallas' — same algorithm as a single VMEM-resident TPU kernel
+#              (ops.pallas.blocklu_pallas): removes the O(K) inter-panel
+#              HBM round-trips of the jnp version.  TPU only.
+#   'xla'    — XLA LuDecomposition (row-pivoted), kept for debugging.
 BATCH_LU_BACKEND = "block"
 
 
 def _use_block_lu() -> bool:
-    return BATCH_LU_BACKEND == "block"
+    return BATCH_LU_BACKEND in ("block", "pallas")
 
 
 def _bfac(J, c, col_scale):
@@ -482,6 +485,9 @@ def _bfac(J, c, col_scale):
     amax = jnp.max(jnp.abs(Ac), axis=2)
     rs = jnp.where(amax > 0.0, 1.0 / amax, 1.0)
     As = (Ac * rs[:, :, None]).astype(jnp.float32)
+    if BATCH_LU_BACKEND == "pallas":
+        from .pallas.blocklu_pallas import block_lu_batched_pallas
+        return rs, col_scale, block_lu_batched_pallas(As)
     if _use_block_lu():
         from .blocklu import block_lu
         return rs, col_scale, jax.vmap(block_lu)(As)
