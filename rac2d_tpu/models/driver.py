@@ -355,6 +355,12 @@ class DiskModel:
                 n_quantile=self.mc_cfg.n_quantile,
                 nmax_encounter=self.mc_cfg.nmax_encounter)
             self.tallies = tall
+            if self.mc_cfg.do_fill_blank:
+                sm = fields.fill_blank(
+                    self.tab.lam, np.asarray(tall.flux),
+                    np.asarray(tall.phc),
+                    nth=self.mc_cfg.fill_blank_threshold)
+                tall = tall._replace(flux=jnp.asarray(sm))
             fld = fields.reduce_fields(
                 self.tab, cells, tall, self.vol, self.r2av,
                 self.lumi_UV0, self.lumi_Lya, self.lumi_H2phd,

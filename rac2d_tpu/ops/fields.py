@@ -45,6 +45,41 @@ def _band_mask(lam_A, band_um):
     return (lam_A >= lo) & (lam_A <= hi)
 
 
+def fill_blank(lam_A, flux, phc, nth=3, nrange=None):
+    """Smear energy from well-sampled wavelength channels over adjacent
+    poorly-sampled ones, conserving the window's integral (reference
+    ``fill_blank``, src/disk.f90:1444-1479; applied per cell when
+    mc_conf%do_fill_blank, disk.f90:1259-1262).
+
+    flux/phc: [n_cells, nlam] numpy arrays; returns the smoothed flux.
+    """
+    lam = np.asarray(lam_A, dtype=float)
+    flux = np.array(flux, dtype=float)
+    phc = np.asarray(phc)
+    n = flux.shape[1]
+    if nrange is None:
+        nrange = 3 + n // 100
+    good = phc >= nth
+    for ic in np.nonzero((~good[:, :]).any(axis=1)
+                         & good.any(axis=1))[0]:
+        v = flux[ic]
+        g = good[ic]
+        for i in np.nonzero(~g)[0]:
+            left = np.nonzero(g[:i])[0]
+            right = np.nonzero(g[i + 1:])[0]
+            jmin = left[-1] if len(left) else n - 1
+            jmax = right[0] + i + 1 if len(right) else 0
+            jmin = min(jmin, max(0, i - nrange))
+            jmax = max(jmax, min(n - 1, i + nrange))
+            if jmax <= jmin:
+                continue
+            s = v[jmin:jmax].sum()
+            smean = s / abs(lam[jmax] - lam[jmin])
+            v[jmin:jmax] = smean * np.abs(np.diff(lam[jmin:jmax + 1]))
+        flux[ic] = v
+    return flux
+
+
 def reduce_fields(tab: optics.McTables, cells: mcrt.McCells,
                   tallies: mcrt.McTallies, volumes_cm3, r2av,
                   star_lumi_UV0, star_lumi_Lya, star_lumi_H2phd,

@@ -47,6 +47,10 @@ class McConfig:
     nlam_xray: int = 100
     n_channel_Lya: int = 200
     dist: float = 100.0      # pc, for SEDs
+    # smear poorly-sampled spectral channels of the per-cell MC flux
+    # (reference mc_conf%do_fill_blank, data_struct.f90:175)
+    do_fill_blank: bool = False
+    fill_blank_threshold: int = 3
 
 
 class McTables(NamedTuple):

@@ -138,3 +138,22 @@ def test_path_matrix_vertical_column():
     above = members[g.zmin[members] >= g.zmax[bott] - 1e-9]
     expect = ((g.zmax[above] - g.zmin[above]) * g.n0[above]).sum() * c.AU2cm
     assert N[bott] == pytest.approx(expect, rel=0.15)
+
+
+def test_fill_blank_conserves_energy():
+    """fill_blank redistributes energy of poorly-sampled channels without
+    changing the window integral (reference disk.f90:1444-1479)."""
+    from rac2d_tpu.ops.fields import fill_blank
+    rng = np.random.default_rng(0)
+    nlam = 60
+    lam = np.linspace(1.0, 2.0, nlam)
+    flux = rng.uniform(0.5, 1.5, (2, nlam))
+    phc = np.full((2, nlam), 10)
+    phc[0, 20:25] = 0            # a poorly-sampled gap in cell 0
+    out = fill_blank(lam, flux, phc, nth=3)
+    # cell 1 untouched
+    assert np.array_equal(out[1], flux[1])
+    # total energy conserved to roundoff in cell 0
+    assert abs(out[0].sum() - flux[0].sum()) < 1e-10 * flux[0].sum()
+    # the gap is no longer empty relative to neighbors
+    assert out[0, 20:25].min() > 0
