@@ -105,6 +105,17 @@ def load_config(path: str) -> driver.DiskConfig:
         if k in it:
             setattr(cfg, k, it[k])
 
+    if "depletion" in t:
+        from .models.depletion import DepletionConfig, ElementDepletion
+        d = dict(t["depletion"])
+        dep = DepletionConfig()
+        for ele in ("o", "c"):
+            if ele in d:
+                setattr(dep, ele, _apply(ElementDepletion(), d.pop(ele),
+                                         f"depletion.{ele}"))
+        _apply(dep, d, "depletion")
+        cfg.depletion = dep
+
     if "heating_cooling" in t:
         from .ops.thermal import HcConfig
         hc = t["heating_cooling"]

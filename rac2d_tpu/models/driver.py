@@ -105,6 +105,9 @@ class DiskConfig:
     refine_watch_species: tuple = ("H2", "H2O", "CO", "E-")
     refine_threshold: float = 10.0
     merge_tol: float = 1.5
+    # ad-hoc O/C(/N) depletion of the initial abundances (reference
+    # deplete_oxygen_carbon_adhoc, disk.f90:2150-2420); None = off
+    depletion: object = None
 
 
 class DiskModel:
@@ -493,6 +496,13 @@ class DiskModel:
         # disk.f90:2014-2047): slightly above Tdust on first iteration
         if iiter == 1:
             self.Tgas = np.maximum(self.Tdust * 1.1 + 10.0, self.Tgas)
+            if cfg.depletion is not None:
+                from . import depletion as depl
+                self.say("  applying O/C depletion to initial abundances")
+                self.X = depl.apply_depletion(
+                    self.net, self.X, self.grid, self.grid.n0, self.Tgas,
+                    cfg.depletion, star_mass=cfg.star_mass,
+                    t_evol=cfg.t_max)
         nS = self.net.n_species
         n_done = 0
         abun_prev = self.X.copy()
