@@ -54,7 +54,8 @@ def main(argv=None):
     if args.skip_chemistry:
         m.run_mc(n_passes=cfg.n_mc_passes)
     else:
-        m.run(n_iter=n_iter)
+        m.run(n_iter=n_iter,
+              save_dir=outdir if extras.get("per_iteration") else None)
     m.say(f"iteration finished in {time.time() - t0:.0f}s")
 
     # --- persist state + per-cell tables + SED -------------------------
@@ -102,6 +103,14 @@ def main(argv=None):
                     f"line_{li.mol.name.strip()}_{f0/1e9:.3f}GHz_th{th:g}.fits"
                 li.make_cube(int(itr), th, out_fits=str(fits_path))
                 m.say(f"wrote {fits_path}")
+
+    # --- log + config echo (reference logs/log.dat + config echo,
+    #     sub_trivials.f90:1088, configure.f90:64-74) ------------------
+    with open(outdir / "log.txt", "w") as f:
+        f.write("\n".join(m.log) + "\n")
+    with open(args.config) as src, open(outdir / "config_used.toml",
+                                        "w") as dst:
+        dst.write(src.read())
     return 0
 
 

@@ -594,7 +594,9 @@ class DiskModel:
         return frac
 
     # ------------------------------------------------------------------
-    def run(self, n_iter=None):
+    def run(self, n_iter=None, save_dir=None):
+        """save_dir: if given, dump the per-cell state table after every
+        iteration (reference iter_NNNN.dat, disk.f90:2745-3074)."""
         n_iter = self.cfg.n_iter if n_iter is None else n_iter
         if self.cfg.do_vertical_with_Tdust:
             self.vertical_bootstrap()
@@ -605,6 +607,12 @@ class DiskModel:
             if it > 1:
                 self.run_mc(seed=it)
             frac = self.chemistry_step(iiter=it)
+            if save_dir is not None:
+                from . import output as outmod
+                import pathlib
+                p = pathlib.Path(save_dir) / f"iter_{it:04d}.npz"
+                outmod.save_iter_npz(p, self, it)
+                self.say(f"  saved {p}")
             if frac >= self.cfg.converged_fraction:
                 self.say("converged.")
                 break

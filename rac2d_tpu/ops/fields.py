@@ -37,6 +37,9 @@ class RadiationFields(NamedTuple):
     G0_UV_H2phd: jnp.ndarray
     G0_UV_toStar_photoDesorb: jnp.ndarray
     zeta_Xray: jnp.ndarray
+    dir_flux: jnp.ndarray      # [n, 3] net photon-flux direction (unit-free
+                               # weighting; reference dir_wei reduction,
+                               # disk.f90:1272-1274)
 
 
 def _band_mask(lam_A, band_um):
@@ -153,10 +156,13 @@ def reduce_fields(tab: optics.McTables, cells: mcrt.McCells,
         lam, flux, jnp.asarray(tab.is_xray), cells.dust_depletion,
         cells.d2h, cells.grain_a)
 
+    dirf = jnp.asarray(tallies.dir_flux) / vol[:, None] * c.AU2cm \
+        / (1e-100 + flux_tot[:, None])
     return RadiationFields(
         flux=flux, Tdusts=Tdusts, Tdust=Tdust, flux_tot=flux_tot,
         flux_Xray=flux_Xray, flux_UV=flux_UV, flux_Lya=flux_Lya,
         flux_Vis=flux_Vis, flux_NIR=flux_NIR, flux_MIR=flux_MIR,
         flux_FIR=flux_FIR, phflux_Lya=phflux_Lya, G0_UV_toStar=G0_toStar,
         Av_toStar=Av_toStar, G0_UV_H2phd=G0_H2phd,
-        G0_UV_toStar_photoDesorb=G0_photoDesorb, zeta_Xray=zeta_X)
+        G0_UV_toStar_photoDesorb=G0_photoDesorb, zeta_Xray=zeta_X,
+        dir_flux=dirf)

@@ -68,6 +68,10 @@ class McCells(NamedTuple):
 class McTallies(NamedTuple):
     flux: jnp.ndarray           # [n_cells, nlam]  sum of length*en (AU erg/s)
     phc: jnp.ndarray            # [n_cells, nlam]  photon segment counts
+    dir_flux: jnp.ndarray       # [n_cells, 3] direction-weighted flux
+                                # (SAVE_PHOTON_FIELD_DIR analogue; the
+                                # reference only ever uses the lambda-sum,
+                                # montecarlo.f90:677-682, disk.f90:1272-1274)
     en_gain: jnp.ndarray        # [n_dust, n_cells] continuous absorption
     en_gain_abso: jnp.ndarray   # [n_dust, n_cells] discrete absorption
     ab_en_water: jnp.ndarray    # [n_cells]
@@ -78,6 +82,7 @@ class McTallies(NamedTuple):
     def zeros(n_cells, nlam, n_dust, n_mu):
         z = jnp.zeros
         return McTallies(z((n_cells, nlam)), z((n_cells, nlam)),
+                         z((n_cells, 3)),
                          z((n_dust, n_cells)), z((n_dust, n_cells)),
                          z(n_cells), z(n_cells), z((n_mu, nlam)))
 
@@ -289,6 +294,8 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
         flux = tl.flux.reshape(-1).at[flat].add(wflux).reshape(tl.flux.shape)
         phc = tl.phc.reshape(-1).at[flat].add(
             jnp.where(tmask, 1.0, 0.0)).reshape(tl.phc.shape)
+        dir_flux = tl.dir_flux.at[cell].add(
+            wflux[:, None] * jnp.stack([pk.vx, pk.vy, pk.vz], axis=1))
         frac_abso = jnp.where(
             tmask & (tau_this > 0.0),
             jnp.where(tau_this <= 1e-4, tau_this,
@@ -415,7 +422,8 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
             tau=new_tau,
             status=new_status,
             e_count=e_count)
-        tl2 = McTallies(flux=flux, phc=phc, en_gain=en_gain,
+        tl2 = McTallies(flux=flux, phc=phc, dir_flux=dir_flux,
+                        en_gain=en_gain,
                         en_gain_abso=en_gain_abso, ab_en_water=ab_en_water,
                         cr_count=cr_count, collector=collector)
         return (step + 1, key, pk2, tl2)
