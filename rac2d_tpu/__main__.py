@@ -40,8 +40,17 @@ def main(argv=None):
     outdir = pathlib.Path(args.out or extras.get("dir", "./rac2d_out"))
     outdir.mkdir(parents=True, exist_ok=True)
 
+    # config echo + streaming log from the very start (reference echoes
+    # the config into the log before running, configure.f90:64-74)
+    with open(args.config) as src, open(outdir / "config_used.toml",
+                                        "w") as dst:
+        dst.write(src.read())
+
     from .models import driver
     m = driver.DiskModel(cfg)
+    m.log_path = outdir / "log.txt"
+    with open(m.log_path, "w"):
+        pass
     t0 = time.time()
     m.prepare()
 
@@ -104,13 +113,9 @@ def main(argv=None):
                 li.make_cube(int(itr), th, out_fits=str(fits_path))
                 m.say(f"wrote {fits_path}")
 
-    # --- log + config echo (reference logs/log.dat + config echo,
-    #     sub_trivials.f90:1088, configure.f90:64-74) ------------------
+    # final rewrite of the full log (say() already streamed it)
     with open(outdir / "log.txt", "w") as f:
         f.write("\n".join(m.log) + "\n")
-    with open(args.config) as src, open(outdir / "config_used.toml",
-                                        "w") as dst:
-        dst.write(src.read())
     return 0
 
 

@@ -39,8 +39,10 @@ Example:
 from __future__ import annotations
 
 import dataclasses
+import pathlib
 import tomllib
 
+from . import defaults
 from .models import driver
 from .models.density import AndrewsDisk
 from .models.grid import GridConfig
@@ -56,16 +58,37 @@ def _apply(obj, table: dict, name: str):
     return obj
 
 
+def resolve_path(name, base: pathlib.Path | None = None):
+    """Resolve a data-file name: absolute / relative to the config file /
+    relative to the shipped data dir (searched recursively)."""
+    if not name:
+        return name
+    p = pathlib.Path(name)
+    if p.is_absolute() and p.exists():
+        return str(p)
+    if base is not None and (base / p).exists():
+        return str(base / p)
+    if p.exists():
+        return str(p)
+    hits = sorted(pathlib.Path(defaults.DATA).rglob(p.name))
+    if hits:
+        return str(hits[0])
+    raise FileNotFoundError(
+        f"data file {name!r} not found (looked in {base}, cwd, and "
+        f"{defaults.DATA})")
+
+
 def load_config(path: str) -> driver.DiskConfig:
     with open(path, "rb") as f:
         t = tomllib.load(f)
+    base = pathlib.Path(path).resolve().parent
 
     cfg = driver.DiskConfig()
     star = t.get("star", {})
     cfg.star_mass = star.get("mass", cfg.star_mass)
     cfg.star_radius = star.get("radius", cfg.star_radius)
     cfg.star_T = star.get("T", cfg.star_T)
-    cfg.star_spectrum_file = star.get("spectrum_file")
+    cfg.star_spectrum_file = resolve_path(star.get("spectrum_file"), base)
     cfg.lumi_Xray = star.get("lumi_Xray", 0.0)
     cfg.T_Xray = star.get("T_Xray", 1e7)
 
@@ -74,13 +97,21 @@ def load_config(path: str) -> driver.DiskConfig:
     cfg.dust = [
         _apply(driver.DustComponent(opti_files=[], weights=[]), d, "dust")
         for d in t.get("dust", [])]
+    for d in cfg.dust:
+        d.opti_files = [resolve_path(f, base) for f in d.opti_files]
 
     chem = t.get("chemistry", {})
-    cfg.network_file = chem.get("network_file", cfg.network_file)
-    cfg.enthalpy_file = chem.get("enthalpy_file", cfg.enthalpy_file)
-    cfg.init_abundances_file = chem.get("init_abundances_file",
-                                        cfg.init_abundances_file)
-    cfg.h2o_cross_file = chem.get("h2o_cross_file")
+    cfg.network_file = resolve_path(
+        chem.get("network_file", cfg.network_file), base) \
+        or defaults.NETWORK
+    cfg.enthalpy_file = resolve_path(
+        chem.get("enthalpy_file", cfg.enthalpy_file), base) \
+        or defaults.ENTHALPIES
+    cfg.init_abundances_file = resolve_path(
+        chem.get("init_abundances_file", cfg.init_abundances_file), base) \
+        or defaults.INIT_ABUNDANCES
+    cfg.h2o_cross_file = resolve_path(chem.get("h2o_cross_file"), base) \
+        or defaults.H2O_PHOTOXS
     for k in ("t_max", "dt_first", "ratio_tstep", "rtol_chem", "atol_chem",
               "evolT", "nlocal_iter", "chem_chunk",
               "max_steps_per_interval"):
@@ -133,11 +164,15 @@ def load_extras(path: str) -> dict:
     (src/main.f90:66-105)."""
     with open(path, "rb") as f:
         t = tomllib.load(f)
+    base = pathlib.Path(path).resolve().parent
     out = dict(t.get("output", {}))
     if "continuum" in t:
         out["continuum"] = t["continuum"]
     if "lines" in t:
         out["lines"] = t["lines"]
+        for ln in out["lines"]:
+            if "mol_file" in ln:
+                ln["mol_file"] = resolve_path(ln["mol_file"], base)
     if "analysis" in t:
         out["analysis"] = t["analysis"]
     return out

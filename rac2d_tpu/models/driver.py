@@ -116,10 +116,16 @@ class DiskModel:
     def __init__(self, cfg: DiskConfig):
         self.cfg = cfg
         self.log = []
+        # when set, say() streams each line here immediately (the
+        # reference tees to logs/log.dat as it runs, sub_trivials.f90:1088)
+        self.log_path = None
 
     def say(self, msg):
         self.log.append(msg)
         print(msg, flush=True)
+        if self.log_path is not None:
+            with open(self.log_path, "a") as f:
+                f.write(msg + "\n")
 
     # ------------------------------------------------------------------
     def prepare(self):
@@ -342,6 +348,10 @@ class DiskModel:
         # symmetric upper-cone emission scaling (reference
         # get_mc_stellar_par, montecarlo.f90:82-106)
         en_pk = en_pk * (cfg.maxw / 4.0)
+        # the f32 transport wants O(1) packet energies: normalize here,
+        # scale the energy tallies back to physical units after the pass
+        en_scale = float(np.max(en_pk)) or 1.0
+        en_norm = np.asarray(en_pk) / en_scale
         nlam = len(self.tab.lam)
         for ip in range(n_passes):
             t0 = time.time()
@@ -352,11 +362,15 @@ class DiskModel:
             tall = mcrt.McTallies.zeros(self.grid.n_cells, nlam,
                                         self.n_dust, 5)
             pk = mcrt.launch_packets(model, key, jnp.asarray(lam_pk),
-                                     jnp.asarray(en_pk), 0.0, cfg.maxw)
+                                     jnp.asarray(en_norm), 0.0, cfg.maxw)
             pk, tall = mcrt.mc_pass(
                 model, key, pk, tall,
                 n_quantile=self.mc_cfg.n_quantile,
                 nmax_encounter=self.mc_cfg.nmax_encounter)
+            tall = tall._replace(**{
+                f: getattr(tall, f).astype(jnp.float64) * en_scale
+                for f in ("flux", "dir_flux", "en_gain", "en_gain_abso",
+                          "ab_en_water", "collector")})
             self.tallies = tall
             if self.mc_cfg.do_fill_blank:
                 sm = fields.fill_blank(

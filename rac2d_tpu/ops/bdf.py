@@ -54,6 +54,28 @@ def _rms_norm(x):
     return jnp.sqrt(jnp.mean(x * x))
 
 
+def _adapt_factors(norms, expo):
+    """norms ** expo for the order-selection test, safe on TPU.
+
+    TPU f64 pow is emulated and returns NaN for inf ** negative (IEEE
+    says 0), and argmax then latches onto the NaN slot — which poisoned
+    the difference array with a NaN rescale factor the first time order
+    adaptation fired.  Map non-finite norms to factor 0 (never chosen)
+    and zero norms to the ideal-step sentinel explicitly."""
+    finite_pos = jnp.isfinite(norms) & (norms > 0.0)
+    safe = jnp.where(finite_pos, norms, 1.0)
+    return jnp.where(finite_pos, safe ** expo,
+                     jnp.where(norms > 0.0, 0.0, MAX_FACTOR * 2))
+
+
+def _rej_factor(safety, error_norm, order):
+    """Step-rejection shrink factor, safe against inf/NaN error norms
+    (TPU pow(inf, negative) = NaN; jnp.maximum propagates the NaN)."""
+    en = jnp.where(jnp.isfinite(error_norm), error_norm, 1e16)
+    return jnp.maximum(MIN_FACTOR,
+                       safety * en ** (-1.0 / (order + 1.0)))
+
+
 def _compute_R(order, factor):
     """Change-of-step-size matrix R for the difference array (full size).
 
@@ -257,9 +279,7 @@ def _step(f, jac, state: BDFState, t_bound, rtol, atol, newton_tol):
             _rms_norm(_ERR_CONST[state.order] * d / scale_new),
             jnp.inf)
         reject = converged & (error_norm > 1.0)
-        factor_rej = jnp.maximum(
-            MIN_FACTOR,
-            safety * error_norm ** (-1.0 / (state.order + 1.0)))
+        factor_rej = _rej_factor(safety, error_norm, state.order)
         accept = converged & ~reject
 
         factor = jnp.where(halve, 0.5, jnp.where(reject, factor_rej, 1.0))
@@ -309,7 +329,7 @@ def _step(f, jac, state: BDFState, t_bound, rtol, atol, newton_tol):
             ep = jnp.where(order < MAX_ORDER, ep, jnp.inf)
             norms = jnp.stack([em, error_norm, ep])
             expo = -1.0 / (order + jnp.arange(3, dtype=jnp.float64))
-            factors = jnp.where(norms > 0.0, norms ** expo, MAX_FACTOR * 2)
+            factors = _adapt_factors(norms, expo)
             best = jnp.argmax(factors)
             new_order = jnp.clip(order + best - 1, 1, MAX_ORDER)
             factor = jnp.minimum(MAX_FACTOR, safety * factors[best])
@@ -452,23 +472,37 @@ class BDFBatchState(NamedTuple):
     n_feval: jnp.ndarray    # [B]
     n_jeval: jnp.ndarray    # [B]
     n_lu: jnp.ndarray       # [B]
+    dbg: jnp.ndarray        # [B, 16] diagnostics (RAC2D_BDF_TRACE only)
 
 
 # Factorization backend for the batched solver's f32 LU.
-#   'block'  — blocked no-pivot matmul LU (ops.blocklu).  Default: faster
-#              than vmapped LuDecomposition on TPU (MXU matmuls vs a
-#              serialized generic routine) AND on CPU (vectorized vs a
-#              per-matrix LAPACK loop), and in batch chemistry tests it
-#              converges lanes the pivoted f32 path loses.
-#   'pallas' — same algorithm as a single VMEM-resident TPU kernel
+#   'inv'    — blocked no-pivot matmul LU + explicit inverse
+#              (ops.blocklu.block_invert).  Default on TPU: the inverse
+#              costs ~3x the LU's matmul volume (cheap, MXU) but every
+#              Newton solve collapses to ONE batched matvec instead of a
+#              latency-bound 2K-panel substitution chain — the dominant
+#              per-round cost at NEQ~500, B~128.
+#   'block'  — blocked no-pivot matmul LU (ops.blocklu), substitution
+#              solves.  Default on CPU (explicit inverse doesn't pay
+#              there): faster than vmapped LuDecomposition (vectorized
+#              vs a per-matrix LAPACK loop), and in batch chemistry
+#              tests it converges lanes the pivoted f32 path loses.
+#   'pallas' — same algorithm as VMEM-resident TPU kernels
 #              (ops.pallas.blocklu_pallas): removes the O(K) inter-panel
-#              HBM round-trips of the jnp version.  TPU only.
+#              HBM round-trips of the jnp version.  TPU only.  In
+#              practice the grid-serialized kernels lose to 'inv'.
 #   'xla'    — XLA LuDecomposition (row-pivoted), kept for debugging.
-BATCH_LU_BACKEND = "block"
+BATCH_LU_BACKEND = "auto"    # auto: 'inv' on tpu, 'block' elsewhere
+
+
+def _backend() -> str:
+    if BATCH_LU_BACKEND != "auto":
+        return BATCH_LU_BACKEND
+    return "inv" if jax.default_backend() == "tpu" else "block"
 
 
 def _use_block_lu() -> bool:
-    return BATCH_LU_BACKEND in ("block", "pallas")
+    return _backend() in ("block", "pallas", "inv")
 
 
 def _bfac(J, c, col_scale):
@@ -485,10 +519,15 @@ def _bfac(J, c, col_scale):
     amax = jnp.max(jnp.abs(Ac), axis=2)
     rs = jnp.where(amax > 0.0, 1.0 / amax, 1.0)
     As = (Ac * rs[:, :, None]).astype(jnp.float32)
-    if BATCH_LU_BACKEND == "pallas":
+    backend = _backend()
+    if backend == "pallas":
         from .pallas.blocklu_pallas import block_lu_batched_pallas
         return rs, col_scale, block_lu_batched_pallas(As)
-    if _use_block_lu():
+    if backend == "inv":
+        from .blocklu import block_invert, block_lu
+        Ainv = jax.vmap(lambda a: block_invert(block_lu(a)))(As)
+        return rs, col_scale, Ainv
+    if backend == "block":
         from .blocklu import block_lu
         return rs, col_scale, jax.vmap(block_lu)(As)
     from jax.scipy.linalg import lu_factor
@@ -499,8 +538,25 @@ def _bfac(J, c, col_scale):
 def _bsolve(J, c_lu, fac, b, n_refine=2):
     """Batched mixed-precision solve of (I - c_lu J) x = b."""
     rs, cs, fac32 = fac
+    backend = _backend()
 
-    if _use_block_lu():
+    if backend == "inv":
+        Ainv = fac32                      # [B, Npad, Npad] f32
+        Np = Ainv.shape[-1]
+        n = b.shape[-1]
+
+        def raw_solve(rsb):
+            rp = jnp.zeros((rsb.shape[0], Np), jnp.float32)
+            rp = rp.at[:, :n].set(rsb)
+            # HIGHEST: TPU f32 einsum otherwise runs in bf16 passes
+            return jnp.einsum("bij,bj->bi", Ainv, rp,
+                              precision=jax.lax.Precision.HIGHEST)[:, :n]
+    elif backend == "pallas":
+        from .pallas.blocklu_pallas import block_lu_solve_batched_pallas
+
+        def raw_solve(rsb):
+            return block_lu_solve_batched_pallas(fac32, rsb)
+    elif _use_block_lu():
         from .blocklu import block_lu_solve
 
         def raw_solve(rsb):
@@ -545,7 +601,7 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
         order=jnp.ones(B, jnp.int32), D=D, n_equal=jnp.zeros(B, jnp.int32),
         fail=jnp.zeros(B, bool), n_steps=jnp.zeros(B, jnp.int64),
         n_feval=jnp.ones(B, jnp.int64), n_jeval=jnp.zeros(B, jnp.int64),
-        n_lu=jnp.zeros(B, jnp.int64))
+        n_lu=jnp.zeros(B, jnp.int64), dbg=jnp.zeros((B, 16)))
 
     rtol_min = jnp.min(rtol)
     newton_tol = jnp.maximum(
@@ -592,9 +648,12 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
         c_lu = c
         n_lu = state.n_lu + active
 
-        # --- Newton (NEWTON_MAXITER masked iterations; body traced once) ---
-        def newton_body(it, carry):
-            y, d, dy_norm_old, converged, diverged, nfe = carry
+        # --- Newton (masked lanes; early-exits when every lane is done,
+        # which with the refresh-always fresh Jacobian is usually after
+        # 1-2 iterations — the remaining NEWTON_MAXITER slots would be
+        # pure waste at ~(f_b + _bsolve) per slot) ---
+        def newton_body(carry):
+            it, y, d, dy_norm_old, converged, diverged, nfe = carry
             going = active & ~converged & ~diverged
             fy = f_b(y)
             nfe = nfe + going
@@ -619,11 +678,16 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
             converged = converged | conv_now
             diverged = diverged | (going & bad)
             dy_norm_old = jnp.where(going, dy_norm, dy_norm_old)
-            return (y, d, dy_norm_old, converged, diverged, nfe)
+            return (it + 1, y, d, dy_norm_old, converged, diverged, nfe)
 
-        y, d, dy_norm_old, converged, diverged, nfe = jax.lax.fori_loop(
-            0, NEWTON_MAXITER, newton_body,
-            (y_pred, jnp.zeros_like(y_pred), jnp.zeros(B),
+        def newton_cond(carry):
+            it, y, d, dy_norm_old, converged, diverged, nfe = carry
+            return (it < NEWTON_MAXITER) \
+                & jnp.any(active & ~converged & ~diverged)
+
+        _, y, d, dy_norm_old, converged, diverged, nfe = jax.lax.while_loop(
+            newton_cond, newton_body,
+            (jnp.array(0), y_pred, jnp.zeros_like(y_pred), jnp.zeros(B),
              jnp.zeros(B, bool), jnp.zeros(B, bool), state.n_feval))
         safety = jnp.full(B, 0.9 * (2.0 * NEWTON_MAXITER + 1.0)
                           / (2.0 * NEWTON_MAXITER + NEWTON_MAXITER))
@@ -632,14 +696,21 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
         # the Jacobian is always fresh (refresh-always), so a Newton
         # failure goes straight to step halving
         halve = active & ~converged
+        import os as _os
+        if _os.environ.get("RAC2D_BDF_DEBUG"):
+            # not supported on the axon TPU backend (no host callbacks)
+            jax.debug.print(
+                "round {k}: active {a} conv {c} div {d} dy_old {dn} "
+                "h[0] {h} t[0] {t} order[0] {o}",
+                k=k_round, a=active.sum(), c=converged.sum(),
+                d=diverged.sum(), dn=dy_norm_old[0], h=h[0], t=state.t[0],
+                o=state.order[0])
         scale_new = atol + rtol * jnp.abs(y)
         err = jax.vmap(_rms_norm)(
             _ERR_CONST[state.order][:, None] * d / scale_new)
         error_norm = jnp.where(converged, err, jnp.inf)
         reject = active & converged & (error_norm > 1.0)
-        factor_rej = jnp.maximum(
-            MIN_FACTOR,
-            safety * error_norm ** (-1.0 / (state.order + 1.0)))
+        factor_rej = _rej_factor(safety, error_norm, state.order)
         accept = active & converged & ~reject
 
         factor = jnp.where(halve, 0.5, jnp.where(reject, factor_rej, 1.0))
@@ -673,23 +744,38 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
         norms = jnp.stack([em, error_norm, ep], axis=1)      # [B, 3]
         expo = -1.0 / (state.order[:, None]
                        + jnp.arange(3, dtype=jnp.float64)[None, :])
-        factors = jnp.where(norms > 0.0, norms ** expo, MAX_FACTOR * 2)
+        factors = _adapt_factors(norms, expo)
         best = jnp.argmax(factors, axis=1)
         new_order = jnp.clip(state.order + best - 1, 1, MAX_ORDER)
         fac_adapt = jnp.clip(safety
                              * jnp.take_along_axis(factors, best[:, None],
                                                    axis=1)[:, 0],
                              MIN_FACTOR, MAX_FACTOR)
+        # a non-finite rescale factor must never reach the difference
+        # array (jnp.clip propagates NaN)
+        fac_adapt = jnp.where(jnp.isfinite(fac_adapt), fac_adapt, 1.0)
         order2 = jnp.where(adapt, new_order, state.order).astype(jnp.int32)
         D = vchange(D, order2, jnp.where(adapt, fac_adapt, 1.0))
         h_next = jnp.where(adapt, h_next * fac_adapt, h_next)
         n_eq = jnp.where(adapt, 0, n_eq)
 
+        dbg = state.dbg
+        if _os.environ.get("RAC2D_BDF_TRACE"):
+            f64 = jnp.float64
+            dbg = jnp.stack([
+                error_norm, em, ep,
+                factors[:, 0], factors[:, 1], factors[:, 2],
+                best.astype(f64), fac_adapt,
+                adapt.astype(f64), accept.astype(f64),
+                converged.astype(f64), diverged.astype(f64),
+                dy_norm_old, jnp.max(jnp.abs(d), axis=1),
+                jnp.min(scale_new, axis=1), h], axis=1)
+
         return BDFBatchState(
             t=jnp.where(accept, t_new, state.t), h=h_next, order=order2,
             D=D, n_equal=n_eq, fail=fail,
             n_steps=state.n_steps + accept, n_feval=nfe, n_jeval=n_jeval,
-            n_lu=n_lu, )
+            n_lu=n_lu, dbg=dbg)
 
     def record(state, tout):
         def cond(carry):
@@ -702,10 +788,30 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
             return round_body(s, tout, k), k + 1
 
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.array(0)))
-        state = state._replace(fail=state.fail | (state.t < tout))
+        import os as _os
+        if not _os.environ.get("RAC2D_BDF_NOFAIL"):
+            # debug escape hatch: with RAC2D_BDF_NOFAIL set, lanes that
+            # miss a tout keep integrating (used to trace step-control
+            # dynamics on backends without host callbacks)
+            state = state._replace(fail=state.fail | (state.t < tout))
         t_rec = jnp.minimum(tout, state.t)
         y_rec = jax.vmap(interpolate)(
             state.D, state.order, state.t, state.h, t_rec)
+        if _os.environ.get("RAC2D_BDF_TRACE"):
+            # debug escape hatch for backends without host callbacks:
+            # hijack the recorded vector with per-lane solver diagnostics
+            f64 = jnp.float64
+            nbadD = jnp.sum(~jnp.isfinite(state.D), axis=(1, 2)).astype(f64)
+            maxD = jnp.max(jnp.abs(state.D), axis=(1, 2))
+            rowmax = jnp.max(jnp.abs(state.D), axis=2)      # [B, _NROWS]
+            diag = jnp.concatenate([
+                jnp.stack([state.h, state.t, state.order.astype(f64),
+                           state.n_steps.astype(f64),
+                           state.n_feval.astype(f64),
+                           state.n_jeval.astype(f64), nbadD, maxD,
+                           state.fail.astype(f64)], axis=1),
+                rowmax, state.dbg], axis=1)
+            y_rec = jnp.zeros_like(y_rec).at[:, :diag.shape[1]].set(diag)
         return state, (t_rec, y_rec)
 
     state, (ts, ys) = jax.lax.scan(record, state, touts)

@@ -29,6 +29,14 @@ import jax.numpy as jnp
 BK = 64          # panel size (MXU-friendly)
 PIV_FLOOR = 1e-20
 
+# TPU MXU f32 matmuls default to bf16 passes (Precision.DEFAULT), which
+# is fatal inside a factorization: pin full f32 accumulation everywhere.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 
 class BlockLU(NamedTuple):
     lu: jnp.ndarray       # [N, N] packed L\\U (unit lower diag implied)
@@ -109,15 +117,49 @@ def block_lu(A) -> BlockLU:
         uinvs.append(Ui)
         if kb + BK < N:
             # row panel: U_k* = Linv @ A_k*
-            rowp = Li @ lu[kb:kb + BK, kb + BK:]
+            rowp = _mm(Li, lu[kb:kb + BK, kb + BK:])
             lu = lu.at[kb:kb + BK, kb + BK:].set(rowp)
             # column panel: L_*k = A_*k @ Uinv
-            colp = lu[kb + BK:, kb:kb + BK] @ Ui
+            colp = _mm(lu[kb + BK:, kb:kb + BK], Ui)
             lu = lu.at[kb + BK:, kb:kb + BK].set(colp)
             # trailing update
-            trail = lu[kb + BK:, kb + BK:] - colp @ rowp
+            trail = lu[kb + BK:, kb + BK:] - _mm(colp, rowp)
             lu = lu.at[kb + BK:, kb + BK:].set(trail)
     return BlockLU(lu=lu, linv=jnp.stack(linvs), uinv=jnp.stack(uinvs))
+
+
+def block_invert(fac: BlockLU):
+    """Explicit inverse from the blocked factorization (vmap for batches).
+
+    Builds inv(L) and inv(U) by block substitution against the identity
+    (K panel steps of MXU matmuls each), then multiplies.  Costs ~3x the
+    matmul volume of the factorization itself but turns every subsequent
+    solve into ONE batched matvec — the right trade on TPU when the same
+    factorization serves several Newton iterations per round and the
+    substitutions would otherwise be latency-bound panel chains."""
+    N = fac.lu.shape[-1]
+    K = N // BK
+    eye = jnp.eye(N, dtype=fac.lu.dtype)
+    # inv(L): forward block substitution L X = I
+    Xl = jnp.zeros((N, N), fac.lu.dtype)
+    R = eye
+    for k in range(K):
+        kb = k * BK
+        Xk = _mm(fac.linv[k], R[kb:kb + BK, :])
+        Xl = Xl.at[kb:kb + BK, :].set(Xk)
+        if kb + BK < N:
+            R = R.at[kb + BK:, :].add(
+                -_mm(fac.lu[kb + BK:, kb:kb + BK], Xk))
+    # inv(U): backward block substitution U X = I
+    Xu = jnp.zeros((N, N), fac.lu.dtype)
+    R = eye
+    for k in range(K - 1, -1, -1):
+        kb = k * BK
+        Xk = _mm(fac.uinv[k], R[kb:kb + BK, :])
+        Xu = Xu.at[kb:kb + BK, :].set(Xk)
+        if kb > 0:
+            R = R.at[:kb, :].add(-_mm(fac.lu[:kb, kb:kb + BK], Xk))
+    return _mm(Xu, Xl)
 
 
 def block_lu_solve(fac: BlockLU, b):
@@ -131,16 +173,16 @@ def block_lu_solve(fac: BlockLU, b):
     y = bp
     for k in range(K):
         kb = k * BK
-        yk = fac.linv[k] @ y[kb:kb + BK]
+        yk = _mm(fac.linv[k], y[kb:kb + BK])
         y = y.at[kb:kb + BK].set(yk)
         if kb + BK < N:
-            y = y.at[kb + BK:].add(-fac.lu[kb + BK:, kb:kb + BK] @ yk)
+            y = y.at[kb + BK:].add(-_mm(fac.lu[kb + BK:, kb:kb + BK], yk))
     # backward: U x = y
     x = y
     for k in range(K - 1, -1, -1):
         kb = k * BK
-        xk = fac.uinv[k] @ x[kb:kb + BK]
+        xk = _mm(fac.uinv[k], x[kb:kb + BK])
         x = x.at[kb:kb + BK].set(xk)
         if kb > 0:
-            x = x.at[:kb].add(-fac.lu[:kb, kb:kb + BK] @ xk)
+            x = x.at[:kb].add(-_mm(fac.lu[:kb, kb:kb + BK], xk))
     return x[:n]

@@ -19,10 +19,11 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-FL_BIG = 1e100
+# constants must stay representable in float32 (the MC walk runs in f32)
+FL_BIG = 1e30
 MIN_LEN = 1e-30
 MIN_VZ = 1e-20
-MIN_VXY = 1e-40
+MIN_VXY = 1e-30
 MIN_LEN_FRAC = 1e-6
 
 # exit direction codes (reference dirtype):
@@ -86,7 +87,15 @@ def ray_cell_exit(x, y, z, vx, vy, vz, rmin, rmax, zmin, zmax):
     idx = jnp.argmin(Lm, axis=-1)
     length = jnp.take_along_axis(Lm, idx[..., None], axis=-1)[..., 0]
     found = valid.any(axis=-1)
-    eps = jnp.minimum(rmax - rmin, zmax - zmin) * MIN_LEN_FRAC
+    # boundary-crossing nudge: cell-size fraction, floored by the ULP of
+    # the position magnitude — in f32 a thin cell's 1e-6*dz nudge can be
+    # below the representable step at |pos|, leaving the packet stuck ON
+    # the boundary (found=False next step)
+    ulp = 8.0 * jnp.finfo(jnp.asarray(x).dtype).eps
+    pos_scale = jnp.abs(x) + jnp.abs(y) + jnp.abs(z) + length
+    eps = jnp.maximum(
+        jnp.minimum(rmax - rmin, zmax - zmin) * MIN_LEN_FRAC,
+        pos_scale * ulp)
     dirtype = idx + 1
     return jnp.where(found, length, 0.0), eps, dirtype, found
 

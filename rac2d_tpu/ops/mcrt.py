@@ -37,7 +37,14 @@ from .. import constants as c
 from ..io import bethell
 from . import geometry, optics
 
-F = jnp.float64
+# Transport precision: float32.  TPU f64 is software-emulated (no native
+# f64 VPU/MXU path), so the walk runs in f32: positions (<=1.5e-5 AU
+# absolute error at r=200 AU, far below cell sizes), directions, optical
+# depths, and tallies.  Packet energies must be NORMALIZED to O(1) by
+# the caller (driver.run_mc divides by en_scale and multiplies the
+# tallies back) so f32 accumulators neither overflow nor lose mantissa.
+# The Tdust inversion and field reductions consume the tallies in f64.
+F = jnp.float32
 
 ST_ACTIVE = 0
 ST_ESCAPED = 1
@@ -80,7 +87,8 @@ class McTallies(NamedTuple):
 
     @staticmethod
     def zeros(n_cells, nlam, n_dust, n_mu):
-        z = jnp.zeros
+        def z(shape):
+            return jnp.zeros(shape, F)
         return McTallies(z((n_cells, nlam)), z((n_cells, nlam)),
                          z((n_cells, 3)),
                          z((n_dust, n_cells)), z((n_dust, n_cells)),
@@ -224,18 +232,22 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
     """Run one batch of packets to completion; returns updated tallies."""
     tab = model.tab
     gi = model.gi
-    cells = model.cells
-    lam_grid = jnp.asarray(tab.lam)
+    # the walk runs in F (f32): cast cell state + optical tables once
+    cells = model.cells._replace(**{
+        f: jnp.asarray(getattr(model.cells, f), F)
+        for f in ("rmin", "rmax", "zmin", "zmax", "n_gas", "n_HI", "n_H2O",
+                  "Tgas", "rho_dust", "dust_depletion", "d2h", "grain_a",
+                  "Tdust", "abso_wei")})
+    lam_grid = jnp.asarray(tab.lam, F)
     nlam = lam_grid.shape[0]
     n_cells = cells.rmin.shape[0]
     n_dust = cells.rho_dust.shape[0]
-    tab_dev = (lam_grid, jnp.asarray(tab.kab), jnp.asarray(tab.ksc),
-               jnp.asarray(tab.xr_gas_abs), jnp.asarray(tab.xr_gas_sca),
-               jnp.asarray(tab.xr_dus_abs0), jnp.asarray(tab.xr_dus_sca),
-               jnp.asarray(tab.sigma_h2o))
-    g_dev = jnp.asarray(tab.g)
+    tab_dev = tuple(jnp.asarray(a, F) for a in (
+        tab.lam, tab.kab, tab.ksc, tab.xr_gas_abs, tab.xr_gas_sca,
+        tab.xr_dus_abs0, tab.xr_dus_sca, tab.sigma_h2o))
+    g_dev = jnp.asarray(tab.g, F)
     reemit_q = jnp.asarray(tab.reemit_q)
-    lut_Tds = jnp.asarray(tab.lut_Tds)
+    lut_Tds = jnp.asarray(tab.lut_Tds, F)
     is_xray = jnp.asarray(tab.is_xray)
     xr_lo = c.lam_range_Xray[0] / c.Angstrom2micron
     xr_hi = c.lam_range_Xray[1] / c.Angstrom2micron
@@ -276,12 +288,12 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
         ext_ab = ab_ch.sum(0)
         ext_sc = sc_ch.sum(0)
         ext_tot = jnp.where(using, ext_ab + ext_sc, 0.0)
-        albedo = ext_sc / jnp.maximum(ext_tot, 1e-100)
+        albedo = ext_sc / jnp.maximum(ext_tot, 1e-33)
 
         tau_this = ext_tot * c.AU2cm * length
         enc = (tau_this >= pk.tau) & active & (tau_this > 0.0)
         move_len = jnp.where(
-            enc, length * pk.tau / jnp.maximum(tau_this, 1e-100),
+            enc, length * pk.tau / jnp.maximum(tau_this, 1e-33),
             length + eps)
         nx = pk.x + pk.vx * move_len
         ny = pk.y + pk.vy * move_len
@@ -470,7 +482,7 @@ def update_tdust(tab: optics.McTables, cells: McCells,
     n_dust = cells.rho_dust.shape[0]
     out = []
     for i in range(n_dust):
-        val = tallies.en_gain[i] / (4.0 * jnp.pi
-                                    * jnp.maximum(cells.mdust_cell[i], 1e-300))
+        val = tallies.en_gain[i].astype(jnp.float64) / (
+            4.0 * jnp.pi * jnp.maximum(cells.mdust_cell[i], 1e-300))
         out.append(optics.tdust_from_energy(tab, i, val))
     return jnp.stack(out)
