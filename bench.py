@@ -58,9 +58,13 @@ def main():
     y0b = jnp.tile(jnp.asarray(y0), (B, 1))
     T0b = jnp.asarray(Tg)
 
-    solve = jax.jit(lambda y, T: ode.solve_batched(
-        envs, y, T, touts, rtol_b, atol_b, first_step=1e-8, evolT=False,
-        max_steps_per_interval=400))
+    # host_loop: one bounded device program per record interval — a
+    # single whole-integration program runs for minutes and trips the
+    # TPU device watchdog
+    def solve(y, T):
+        return ode.solve_batched(
+            envs, y, T, touts, rtol_b, atol_b, first_step=1e-8,
+            evolT=False, max_steps_per_interval=400, host_loop=True)
 
     # warmup/compile
     res = solve(y0b, T0b)

@@ -18,12 +18,19 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-# Opt-in persistent compilation cache: the batched implicit-solver graphs
-# are expensive to compile; export RAC2D_COMPILE_CACHE=/path to reuse
-# compilations across processes.
-if os.environ.get("RAC2D_COMPILE_CACHE"):
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["RAC2D_COMPILE_CACHE"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# Persistent compilation cache, ON by default: the batched implicit-
+# solver graphs take minutes to compile and are identical across runs.
+# Override the location with RAC2D_COMPILE_CACHE; disable with
+# RAC2D_COMPILE_CACHE=0.
+_cache = os.environ.get(
+    "RAC2D_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "rac2d_tpu_jax"))
+if _cache and _cache != "0":
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except (OSError, AttributeError):
+        pass
 
 from . import constants  # noqa: E402,F401

@@ -114,7 +114,7 @@ def load_config(path: str) -> driver.DiskConfig:
         or defaults.H2O_PHOTOXS
     for k in ("t_max", "dt_first", "ratio_tstep", "rtol_chem", "atol_chem",
               "evolT", "nlocal_iter", "chem_chunk",
-              "max_steps_per_interval"):
+              "max_steps_per_interval", "chunk_wall_s"):
         if k in chem:
             setattr(cfg, k, chem[k])
 

@@ -79,6 +79,10 @@ class DiskConfig:
     # next output time within it are marked failed ("Premature finish",
     # reference chemistry.f90:480-491 wall-clock guard analogue)
     max_steps_per_interval: int = 500
+    # wall-clock budget per chemistry chunk, seconds; 0 = unlimited
+    # (reference max_runtime_allowed was 60 s per CELL time-step — here
+    # one chunk solves the whole batch, so the budget is per chunk)
+    chunk_wall_s: float = 0.0
     # MC control
     mc: optics.McConfig = None
     n_mc_passes: int = 3
@@ -366,11 +370,14 @@ class DiskModel:
             pk, tall = mcrt.mc_pass(
                 model, key, pk, tall,
                 n_quantile=self.mc_cfg.n_quantile,
-                nmax_encounter=self.mc_cfg.nmax_encounter)
+                nmax_encounter=self.mc_cfg.nmax_encounter,
+                use_mrw=self.mc_cfg.use_mrw,
+                mrw_gamma=self.mc_cfg.mrw_gamma,
+                mrw_lam_min=self.mc_cfg.mrw_lam_min)
             tall = tall._replace(**{
                 f: getattr(tall, f).astype(jnp.float64) * en_scale
                 for f in ("flux", "dir_flux", "en_gain", "en_gain_abso",
-                          "ab_en_water", "collector")})
+                          "ab_en_water", "collector", "mrw_path")})
             self.tallies = tall
             if self.mc_cfg.do_fill_blank:
                 sm = fields.fill_blank(
@@ -551,11 +558,16 @@ class DiskModel:
                         cfg.evolT,
                         max_steps_per_interval=cfg.max_steps_per_interval)
                 else:
+                    # host_loop: one compiled record serves every chunk
+                    # (envs are traced args), device programs stay
+                    # bounded, and the wall guard can fire mid-solve
                     res = self.ode.solve_batched(
                         env, y0b, T0b, touts, rtol_b, atol_b,
                         first_step=cfg.dt_first, evolT=cfg.evolT,
                         tenvs=tenv,
-                        max_steps_per_interval=cfg.max_steps_per_interval)
+                        max_steps_per_interval=cfg.max_steps_per_interval,
+                        host_loop=True,
+                        max_wall_s=cfg.chunk_wall_s or None)
                 ok = ~np.asarray(res.fail)[:n_real]
                 if ok.all() or level == cfg.nlocal_iter:
                     break

@@ -52,8 +52,9 @@ class Star:
 def blackbody_star(T, radius, lam0=100.0, lam1=1e8, nlam=2000, **kw) -> Star:
     lam = np.logspace(np.log10(lam0), np.log10(lam1), nlam)
     coeff = 4.0 * np.pi ** 2 * (radius * c.Rsun_CGS) ** 2
-    vals = np.array([float(planck.B_lambda(T, l * c.Angstrom2cm))
-                     for l in lam]) * coeff * c.Angstrom2cm
+    # numpy variant: host-side table, must not run on the accelerator
+    vals = planck.B_lambda_np(T, lam * c.Angstrom2cm) * coeff \
+        * c.Angstrom2cm
     st = Star(T=T, radius=radius, lam=lam, vals=vals, **kw)
     st.lumi = st.luminosity()
     return st

@@ -25,6 +25,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .linalg import MPFactor, mp_factor, mp_solve
 
@@ -37,6 +38,12 @@ MAX_FACTOR = 10.0
 # factorizations are the dominant cost, and simplified Newton tolerates a
 # stale matrix
 DELTA_C_REFACTOR = 0.3
+# batch path: looser drift tolerance (the Newton-failure fallback
+# refreshes anyway, and any lane's drift refactors the WHOLE batch)
+DELTA_C_BATCH = 0.6
+# batch path: suppress step-size increases below this factor (VODE's
+# eta hysteresis) so routine adaptations don't churn the factorization
+H_GROW_MIN = 1.5
 
 # NDF constants (order 0 slot unused)
 _KAPPA = jnp.array([0.0, -0.1850, -1.0 / 9.0, -0.0823, -0.0415, 0.0])
@@ -472,6 +479,13 @@ class BDFBatchState(NamedTuple):
     n_feval: jnp.ndarray    # [B]
     n_jeval: jnp.ndarray    # [B]
     n_lu: jnp.ndarray       # [B]
+    # cached Newton linearization (refreshed on a batch-global branch)
+    J: jnp.ndarray          # [B, NEQ, NEQ] f64 Jacobian at last refresh
+    fac: object             # backend factorization pytree from _bfac
+    c_lu: jnp.ndarray       # [B] c baked into fac
+    jfresh: jnp.ndarray     # [B] bool: J evaluated at this lane's
+    #                         current base state (no accepted step since)
+    need_j: jnp.ndarray     # [B] bool: lane's Newton failed on stale J
     dbg: jnp.ndarray        # [B, 16] diagnostics (RAC2D_BDF_TRACE only)
 
 
@@ -581,39 +595,47 @@ def _bsolve(J, c_lu, fac, b, n_refine=2):
     return x
 
 
-def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
-                    atol, first_step, max_steps_per_interval: int = 2000,
-                    sanity_b: Callable | None = None,
-                    refac_every: int = 2, n_refine: int = 1) -> BDFResult:
-    """Batched BDF integration.  y0/rtol/atol: [B, NEQ]; f_b/jac_b map
-    [B, NEQ] -> [B, NEQ] / [B, NEQ, NEQ].  Returns BDFResult with leading
-    batch axes (ys: [B, n_out, NEQ])."""
-    y0 = jnp.asarray(y0, dtype=jnp.float64)
+def _batch_init(f_b, y0, t0, first_step, args) -> BDFBatchState:
     B, NEQ = y0.shape
-    touts = jnp.asarray(touts, dtype=jnp.float64)
-    t_bound = touts[-1]
-
-    f0 = f_b(y0)
+    f0 = f_b(y0, args)
     D = jnp.zeros((B, _NROWS, NEQ))
     D = D.at[:, 0].set(y0).at[:, 1].set(first_step * f0)
-    state = BDFBatchState(
+    J0 = jnp.zeros((B, NEQ, NEQ))
+    # structural placeholder factorization (of the identity); c_lu=nan
+    # forces a real refresh on the first round
+    fac0 = _bfac(J0, jnp.zeros(B), jnp.ones((B, NEQ)))
+    return BDFBatchState(
         t=jnp.full(B, t0, jnp.float64), h=jnp.full(B, first_step),
         order=jnp.ones(B, jnp.int32), D=D, n_equal=jnp.zeros(B, jnp.int32),
         fail=jnp.zeros(B, bool), n_steps=jnp.zeros(B, jnp.int64),
         n_feval=jnp.ones(B, jnp.int64), n_jeval=jnp.zeros(B, jnp.int64),
-        n_lu=jnp.zeros(B, jnp.int64), dbg=jnp.zeros((B, 16)))
+        n_lu=jnp.zeros(B, jnp.int64),
+        J=J0, fac=fac0, c_lu=jnp.full(B, jnp.nan),
+        jfresh=jnp.zeros(B, bool),
+        # need_j starts True: the first round must evaluate a real J
+        need_j=jnp.ones(B, bool),
+        dbg=jnp.zeros((B, 16)))
 
-    rtol_min = jnp.min(rtol)
-    newton_tol = jnp.maximum(
-        10 * jnp.finfo(jnp.float64).eps / jnp.maximum(rtol_min, 1e-15),
-        jnp.minimum(0.03, jnp.sqrt(rtol_min)))
 
+def _make_batch_record(f_b: Callable, jac_b: Callable,
+                       max_steps_per_interval: int,
+                       sanity_b: Callable | None, n_refine: int):
+    """Build record(state, tout, t_bound, rtol, atol, args): integrate
+    every lane to tout (or failure / step budget) and return
+    (state, (t_rec, y_rec)).  Shared by the scan-driven and host-driven
+    solvers.  f_b/jac_b are PURE functions of (y, args) — the problem
+    data (cell environments) rides in `args` as a traced pytree, so one
+    compiled record serves every chunk of the sweep instead of baking
+    each chunk's environments in as constants (which forced a
+    recompile per chunk)."""
     vpredict = jax.vmap(_predict)
     vpsi = jax.vmap(_psi)
     vchange = jax.vmap(_change_D)
     vupdate = jax.vmap(_update_D)
 
-    def round_body(state: BDFBatchState, tout, k_round):
+    def round_body(state: BDFBatchState, tout, t_bound, k_round,
+                   rtol, atol, newton_tol, args):
+        B = state.t.shape[0]
         active = (state.t < tout) & ~state.fail
 
         h = state.h
@@ -633,29 +655,44 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
         psi = vpsi(D, state.order)
         c = h / _ALPHA[state.order]
 
-        # --- refresh-always policy ---
-        # Per-lane refresh decisions would need lax.cond, which under this
-        # batched loop either evaluates both branches (vmapped predicate)
-        # or degenerates to firing every round (any-lane predicate at
-        # large B).  Refreshing the Jacobian and the f32 factorization
-        # every round keeps the graph branch-free, feeds the MXU steady
-        # batched work, and makes the simplified Newton effectively exact
-        # (1-2 iterations); the extra factorizations are the price, paid
-        # in cheap f32.
-        J = jac_b(y_pred)
-        n_jeval = state.n_jeval + active
-        fac = _bfac(J, c, scale)
-        c_lu = c
-        n_lu = state.n_lu + active
+        # --- conditional refresh (batch-global branch) ---
+        # Per-lane refresh decisions would need lax.cond, which under
+        # this batched loop evaluates both branches; instead the refresh
+        # is one BATCH-GLOBAL branch (a real branch in the compiled
+        # graph) that fires when any active lane needs it: its Newton
+        # failed on a stale Jacobian, or its c = h/alpha drifted beyond
+        # DVODE's gamma tolerance from the factorized c_lu.  Between
+        # refreshes the simplified Newton runs on the cached (J, LU) —
+        # Jacobian assembly + factorization dominate a round's cost, so
+        # skipping them on quiet rounds is the main throughput lever.
+        drift = jnp.abs(c / state.c_lu - 1.0) > DELTA_C_BATCH
+        drift = drift | ~jnp.isfinite(state.c_lu)
+        refresh_j = jnp.any(active & state.need_j)
+        refresh_lu = refresh_j | jnp.any(active & drift)
 
-        # --- Newton (masked lanes; early-exits when every lane is done,
-        # which with the refresh-always fresh Jacobian is usually after
-        # 1-2 iterations — the remaining NEWTON_MAXITER slots would be
-        # pure waste at ~(f_b + _bsolve) per slot) ---
+        # Jacobian refresh is the rare branch (fires only after a Newton
+        # failure on a stale J); the LU refactor additionally fires on c
+        # drift — cheaper, since it reuses the cached J.
+        J, jfresh = jax.lax.cond(
+            refresh_j,
+            lambda _: (jac_b(y_pred, args), jnp.ones(B, bool)),
+            lambda _: (state.J, state.jfresh), None)
+        fac, c_lu = jax.lax.cond(
+            refresh_lu,
+            lambda _: (_bfac(J, c, scale), c),
+            lambda _: (state.fac, state.c_lu), None)
+        n_jeval = state.n_jeval + (refresh_j & active)
+        n_lu = state.n_lu + (refresh_lu & active)
+
+        # --- Newton (masked lanes; early-exits when every lane is done —
+        # with a fresh factorization usually after 1-2 iterations; the
+        # remaining NEWTON_MAXITER slots would be pure waste at
+        # ~(f_b + _bsolve) per slot).  rhs uses the CURRENT c; the solve
+        # matrix is the cached (I - c_lu J) — simplified Newton. ---
         def newton_body(carry):
             it, y, d, dy_norm_old, converged, diverged, nfe = carry
             going = active & ~converged & ~diverged
-            fy = f_b(y)
+            fy = f_b(y, args)
             nfe = nfe + going
             rhs = c[:, None] * fy - psi - d
             dy = _bsolve(J, c_lu, fac, rhs, n_refine)
@@ -693,9 +730,12 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
                           / (2.0 * NEWTON_MAXITER + NEWTON_MAXITER))
 
         # --- outcome handling ---
-        # the Jacobian is always fresh (refresh-always), so a Newton
-        # failure goes straight to step halving
-        halve = active & ~converged
+        # Newton failure on a fresh Jacobian halves the step; on a stale
+        # one the lane flags need_j and retries at the same h after the
+        # batch-global refresh fires next round (single-system _step
+        # refresh_jac logic, but amortized across the batch).
+        halve = active & ~converged & jfresh
+        need_j_new = active & ~converged & ~jfresh
         import os as _os
         if _os.environ.get("RAC2D_BDF_DEBUG"):
             # not supported on the axon TPU backend (no host callbacks)
@@ -755,8 +795,14 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
         # array (jnp.clip propagates NaN)
         fac_adapt = jnp.where(jnp.isfinite(fac_adapt), fac_adapt, 1.0)
         order2 = jnp.where(adapt, new_order, state.order).astype(jnp.int32)
-        D = vchange(D, order2, jnp.where(adapt, fac_adapt, 1.0))
-        h_next = jnp.where(adapt, h_next * fac_adapt, h_next)
+        # hysteresis: apply shrinks always, growth only when it clears
+        # H_GROW_MIN — small growth churns the cached factorization (c
+        # drift) for little stepping gain
+        fac_eff = jnp.where(adapt & ((fac_adapt < 1.0)
+                                     | (fac_adapt >= H_GROW_MIN)),
+                            fac_adapt, 1.0)
+        D = vchange(D, order2, fac_eff)
+        h_next = h_next * fac_eff
         n_eq = jnp.where(adapt, 0, n_eq)
 
         dbg = state.dbg
@@ -775,9 +821,15 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
             t=jnp.where(accept, t_new, state.t), h=h_next, order=order2,
             D=D, n_equal=n_eq, fail=fail,
             n_steps=state.n_steps + accept, n_feval=nfe, n_jeval=n_jeval,
-            n_lu=n_lu, dbg=dbg)
+            n_lu=n_lu, J=J, fac=fac, c_lu=c_lu,
+            jfresh=jfresh & ~accept, need_j=need_j_new, dbg=dbg)
 
-    def record(state, tout):
+    def record(state, tout, t_bound, rtol, atol, args):
+        rtol_min = jnp.min(rtol)
+        newton_tol = jnp.maximum(
+            10 * jnp.finfo(jnp.float64).eps / jnp.maximum(rtol_min, 1e-15),
+            jnp.minimum(0.03, jnp.sqrt(rtol_min)))
+
         def cond(carry):
             s, k = carry
             return jnp.any((s.t < tout) & ~s.fail) \
@@ -785,7 +837,8 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
 
         def body(carry):
             s, k = carry
-            return round_body(s, tout, k), k + 1
+            return round_body(s, tout, t_bound, k, rtol, atol,
+                              newton_tol, args), k + 1
 
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.array(0)))
         import os as _os
@@ -814,10 +867,96 @@ def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
             y_rec = jnp.zeros_like(y_rec).at[:, :diag.shape[1]].set(diag)
         return state, (t_rec, y_rec)
 
-    state, (ts, ys) = jax.lax.scan(record, state, touts)
+    return record
+
+
+def bdf_solve_batch(f_b: Callable, jac_b: Callable, y0, t0, touts, rtol,
+                    atol, first_step, max_steps_per_interval: int = 2000,
+                    sanity_b: Callable | None = None,
+                    refac_every: int = 2, n_refine: int = 1,
+                    args=None) -> BDFResult:
+    """Batched BDF integration.  y0/rtol/atol: [B, NEQ]; f_b/jac_b are
+    PURE functions (yb, args) -> [B, NEQ] / [B, NEQ, NEQ]; `args` is an
+    arbitrary traced pytree of problem data (cell environments).
+    Returns BDFResult with leading batch axes (ys: [B, n_out, NEQ])."""
+    y0 = jnp.asarray(y0, dtype=jnp.float64)
+    touts = jnp.asarray(touts, dtype=jnp.float64)
+    t_bound = touts[-1]
+    state = _batch_init(f_b, y0, t0, first_step, args)
+    record = _make_batch_record(f_b, jac_b,
+                                max_steps_per_interval, sanity_b, n_refine)
+
+    state, (ts, ys) = jax.lax.scan(
+        lambda s, tout: record(s, tout, t_bound, rtol, atol, args),
+        state, touts)
     # scan stacks outputs on axis 0 = record index; move batch first
     ts = jnp.moveaxis(ts, 0, 1)
     ys = jnp.moveaxis(ys, 0, 1)
+    return BDFResult(ts=ts, ys=ys, t_final=state.t, fail=state.fail,
+                     n_steps=state.n_steps, n_feval=state.n_feval,
+                     n_jeval=state.n_jeval, n_lu=state.n_lu)
+
+
+def make_record_jit(f_b, jac_b, max_steps_per_interval=2000,
+                    sanity_b=None, n_refine=1):
+    """Jitted record(state, tout, t_bound, rtol, atol, args) for reuse
+    across many bdf_solve_batch_host calls (one compile per batch
+    shape, NOT per chunk of cell environments)."""
+    return jax.jit(_make_batch_record(f_b, jac_b, max_steps_per_interval,
+                                      sanity_b, n_refine))
+
+
+def bdf_solve_batch_host(f_b: Callable, jac_b: Callable, y0, t0, touts,
+                         rtol, atol, first_step,
+                         max_steps_per_interval: int = 2000,
+                         sanity_b: Callable | None = None,
+                         n_refine: int = 1, max_wall_s: float | None = None,
+                         progress_cb: Callable | None = None,
+                         args=None, record_fn=None) -> BDFResult:
+    """Host-driven variant of bdf_solve_batch: ONE jitted device call per
+    record interval instead of one giant scan program.
+
+    Why: (a) a full integration in a single device program can run for
+    many minutes, which TPU runtimes abort (device watchdog) — per-
+    interval calls bound the program run time; (b) the host loop can
+    enforce the reference's wall-clock guard (max_runtime_allowed,
+    src/chemistry.f90:480-491) and report progress between intervals.
+    Lanes not yet at touts[-1] when the wall budget runs out are marked
+    failed ("Premature finish")."""
+    import time as _time
+
+    y0 = jnp.asarray(y0, dtype=jnp.float64)
+    touts_np = np.asarray(touts, dtype=np.float64)
+    t_bound = float(touts_np[-1])
+    state = _batch_init(f_b, y0, t0, first_step, args)
+    # callers doing many solves should pass record_fn=make_record_jit(...)
+    # so ONE compiled record serves all of them
+    record = record_fn if record_fn is not None else jax.jit(
+        _make_batch_record(f_b, jac_b, max_steps_per_interval, sanity_b,
+                           n_refine))
+
+    t_start = _time.time()
+    ts_l, ys_l = [], []
+    aborted = False
+    for i, tout in enumerate(touts_np):
+        if aborted:
+            t_rec = jnp.minimum(jnp.asarray(tout), state.t)
+            ts_l.append(t_rec)
+            ys_l.append(ys_l[-1])
+            continue
+        state, (t_rec, y_rec) = record(state, jnp.asarray(tout),
+                                       jnp.asarray(t_bound), rtol, atol,
+                                       args)
+        ts_l.append(t_rec)
+        ys_l.append(y_rec)
+        if progress_cb is not None:
+            progress_cb(i, state)
+        if max_wall_s is not None and _time.time() - t_start > max_wall_s:
+            aborted = True
+    if aborted:
+        state = state._replace(fail=state.fail | (state.t < t_bound))
+    ts = jnp.stack(ts_l, axis=1)
+    ys = jnp.stack(ys_l, axis=1)
     return BDFResult(ts=ts, ys=ys, t_final=state.t, fail=state.fail,
                      n_steps=state.n_steps, n_feval=state.n_feval,
                      n_jeval=state.n_jeval, n_lu=state.n_lu)

@@ -84,6 +84,8 @@ class McTallies(NamedTuple):
     ab_en_water: jnp.ndarray    # [n_cells]
     cr_count: jnp.ndarray       # [n_cells]
     collector: jnp.ndarray      # [n_mu, nlam] escaped-energy SED bins
+    mrw_path: jnp.ndarray       # [n_cells] en-weighted MRW path (AU);
+                                # folded into flux/en_gain at pass end
 
     @staticmethod
     def zeros(n_cells, nlam, n_dust, n_mu):
@@ -92,7 +94,8 @@ class McTallies(NamedTuple):
         return McTallies(z((n_cells, nlam)), z((n_cells, nlam)),
                          z((n_cells, 3)),
                          z((n_dust, n_cells)), z((n_dust, n_cells)),
-                         z(n_cells), z(n_cells), z((n_mu, nlam)))
+                         z(n_cells), z(n_cells), z((n_mu, nlam)),
+                         z(n_cells))
 
 
 class Packets(NamedTuple):
@@ -224,11 +227,13 @@ def _channel_extinctions(tab_dev, cells: McCells, cell, ilam, lam_local):
 
 @partial(jax.jit,
          static_argnames=("max_steps", "n_quantile", "n_mu",
-                          "nmax_encounter"),
+                          "nmax_encounter", "use_mrw", "mrw_gamma",
+                          "mrw_lam_min"),
          donate_argnums=(2, 3))
 def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
             max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
-            nmax_encounter: int = 50_000):
+            nmax_encounter: int = 50_000, use_mrw: bool = True,
+            mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4):
     """Run one batch of packets to completion; returns updated tallies."""
     tab = model.tab
     gi = model.gi
@@ -252,13 +257,35 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
     xr_lo = c.lam_range_Xray[0] / c.Angstrom2micron
     xr_hi = c.lam_range_Xray[1] / c.Angstrom2micron
 
+    # --- Modified Random Walk per-cell precomputation -----------------
+    # (Min et al. 2009; no analogue in the reference, which walks every
+    # scattering event, montecarlo.f90:577.)  Per cell at the FROZEN
+    # pass Tdust: inverse transport mfp (Rosseland), Planck-mean
+    # absorption per dust component, dominant emitter, and the
+    # blackbody bin weights for the deferred flux deposit.
+    nT_lut = lut_Tds.shape[0]
+    itd_cell = jnp.clip(
+        jax.vmap(lambda Tdi: jnp.searchsorted(lut_Tds, Tdi))(cells.Tdust),
+        0, nT_lut - 1)                                   # [n_dust, n_cells]
+    kap_trR = jnp.asarray(tab.kap_trR, F)                # [n_dust, nT]
+    kap_P = jnp.asarray(tab.kap_P, F)
+    rho_kaptr = jnp.take_along_axis(kap_trR, itd_cell, axis=1) \
+        * cells.rho_dust                                 # [n_dust, n_cells]
+    rho_kapP = jnp.take_along_axis(kap_P, itd_cell, axis=1) \
+        * cells.rho_dust
+    mrw_inv_mfp = rho_kaptr.sum(0)                       # [n_cells] 1/cm
+    mrw_idom = jnp.argmax(rho_kapP, axis=0).astype(jnp.int32)  # [n_cells]
+    mrw_lnx = jnp.asarray(tab.mrw_lnx, F)
+    n_mrw = mrw_lnx.shape[0]
+
     def cond(state):
         step, key, pk, tl = state
         return (step < max_steps) & jnp.any(pk.status == ST_ACTIVE)
 
     def body(state):
         step, key, pk, tl = state
-        key, k_tau, k_ev, k_dir1, k_dir2, k_q = jax.random.split(key, 6)
+        (key, k_tau, k_ev, k_dir1, k_dir2, k_q,
+         k_m1, k_m2, k_m3, k_m4) = jax.random.split(key, 10)
         active = pk.status == ST_ACTIVE
         B = pk.x.shape[0]
 
@@ -267,6 +294,26 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
         rmax = cells.rmax[cell]
         zmin = cells.zmin[cell]
         zmax = cells.zmax[cell]
+
+        # --- Modified Random Walk: packets deep inside an optically
+        # thick cell take one diffusion step instead of ~(R0/mfp)^2
+        # scattering steps.  R0 = inscribed-sphere radius around the
+        # packet (mirror cells at the midplane extend to -zmax).
+        if use_mrw:
+            r_pk = jnp.sqrt(pk.x * pk.x + pk.y * pk.y)
+            az = jnp.abs(pk.z)
+            dz_lo = jnp.where(zmin <= 0.0, geometry.FL_BIG, az - zmin)
+            R0 = jnp.minimum(jnp.minimum(r_pk - rmin, rmax - r_pk),
+                             jnp.minimum(dz_lo, zmax - az)) \
+                * jnp.asarray(0.999, F)
+            mrw = (active & cells.using[cell]
+                   & (pk.lam > mrw_lam_min)
+                   & (R0 * c.AU2cm * mrw_inv_mfp[cell] > mrw_gamma))
+            active = active & ~mrw
+        else:
+            mrw = jnp.zeros(B, bool)
+            R0 = jnp.zeros(B, F)
+
         length, eps, dirtype, found = geometry.ray_cell_exit_mirror(
             pk.x, pk.y, pk.z, pk.vx, pk.vy, pk.vz, rmin, rmax, zmin, zmax)
         # a packet whose ray misses its own cell (numerical corner case)
@@ -421,28 +468,87 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
         new_tau = jnp.where(crossed, pk.tau - tau_this, new_tau)
         new_tau = jnp.maximum(new_tau, 0.0)
 
+        # --- MRW diffusion step ---------------------------------------
+        # Sample the first-passage path length from the precomputed
+        # inverse CDF, tally en*path per cell (lambda deposit deferred to
+        # pass end), exit on the inscribed sphere moving outward, with a
+        # fresh thermal wavelength from the dominant emitting component.
+        if use_mrw:
+            u_m = jax.random.uniform(k_m1, (B,), F)
+            lnx = mrw_lnx[jnp.clip((u_m * n_mrw).astype(jnp.int32),
+                                   0, n_mrw - 1)]
+            R0cm = R0 * jnp.asarray(c.AU2cm, F)
+            pi2 = jnp.asarray(jnp.pi ** 2, F)
+            L_cm = jnp.maximum(
+                -3.0 * R0cm * R0cm * mrw_inv_mfp[cell] * lnx / pi2, R0cm)
+            mrw_path = tl.mrw_path.at[cell].add(
+                jnp.where(mrw, L_cm / jnp.asarray(c.AU2cm, F) * pk.en, 0.0))
+            mx, my, mz = _unit_sphere_dir(k_m2, B)
+            xm = pk.x + R0 * mx
+            ym = pk.y + R0 * my
+            zm = pk.z + R0 * mz
+            idm = mrw_idom[cell]
+            Tdm = cells.Tdust[idm, cell]
+            itdm = jnp.clip(jnp.searchsorted(lut_Tds, Tdm), 0, nT - 1)
+            iqm = jnp.clip((jax.random.uniform(k_m3, (B,), F)
+                            * n_quantile).astype(jnp.int32),
+                           0, n_quantile - 1)
+            lam_m = lam_grid[reemit_q[idm, itdm, iqm]]
+            tau_m = -jnp.log(jax.random.uniform(k_m4, (B,), F, 1e-12, 1.0))
+        else:
+            mrw_path = tl.mrw_path
+
+        def sel(m_val, n_mask, n_val, old):
+            out = jnp.where(n_mask, n_val, old)
+            if use_mrw:
+                out = jnp.where(mrw, m_val, out)
+            return out
+
         pk2 = Packets(
-            x=jnp.where(active, nx, pk.x),
-            y=jnp.where(active, ny, pk.y),
-            z=jnp.where(active, nz, pk.z),
-            vx=jnp.where(enc, nvx, pk.vx),
-            vy=jnp.where(enc, nvy, pk.vy),
-            vz=jnp.where(enc, nvz, pk.vz),
-            lam=jnp.where(enc, new_lam, pk.lam),
+            x=sel(xm if use_mrw else 0, active, nx, pk.x),
+            y=sel(ym if use_mrw else 0, active, ny, pk.y),
+            z=sel(zm if use_mrw else 0, active, nz, pk.z),
+            vx=sel(mx if use_mrw else 0, enc, nvx, pk.vx),
+            vy=sel(my if use_mrw else 0, enc, nvy, pk.vy),
+            vz=sel(mz if use_mrw else 0, enc, nvz, pk.vz),
+            lam=sel(lam_m if use_mrw else 0, enc, new_lam, pk.lam),
             en=pk.en,
             cell=new_cell.astype(pk.cell.dtype),
-            tau=new_tau,
+            tau=sel(tau_m if use_mrw else 0, enc | crossed, new_tau,
+                    pk.tau),
             status=new_status,
-            e_count=e_count)
+            e_count=e_count + mrw.astype(pk.e_count.dtype))
         tl2 = McTallies(flux=flux, phc=phc, dir_flux=dir_flux,
                         en_gain=en_gain,
                         en_gain_abso=en_gain_abso, ab_en_water=ab_en_water,
-                        cr_count=cr_count, collector=collector)
+                        cr_count=cr_count, collector=collector,
+                        mrw_path=mrw_path)
         return (step + 1, key, pk2, tl2)
 
     step0 = jnp.array(0)
     _, _, packets, tallies = jax.lax.while_loop(
         cond, body, (step0, key, packets, tallies))
+
+    # --- fold the MRW path tally into the lambda-resolved flux and the
+    # absorbed-energy tallies.  Inside the diffusion sphere J_lambda is
+    # the local blackbody, so the per-bin deposit weights are
+    # B_lambda(Tbar) dlam (IR bins only) and the absorbed energy per
+    # dust component is en*path * rho_i kappa_P,i.
+    if use_mrw:
+        from ..utils import planck
+        mp = tallies.mrw_path                           # [n_cells] AU*en
+        wsum = jnp.maximum(rho_kapP.sum(0), 1e-30)
+        Tbar = (rho_kapP * cells.Tdust).sum(0) / wsum
+        dlam = jnp.concatenate([jnp.diff(lam_grid), jnp.diff(lam_grid)[-1:]])
+        lam_cm_mid = (lam_grid + 0.5 * dlam) * jnp.asarray(c.Angstrom2cm, F)
+        ir = lam_grid >= mrw_lam_min                     # f32-safe lam^5
+        Bm = planck.B_lambda(Tbar[:, None], lam_cm_mid[None, :])
+        w = jnp.where(ir[None, :], Bm * dlam[None, :], 0.0)
+        w = w / jnp.maximum(w.sum(1, keepdims=True), 1e-30)
+        tallies = tallies._replace(
+            flux=tallies.flux + mp[:, None] * w,
+            en_gain=tallies.en_gain
+            + mp[None, :] * jnp.asarray(c.AU2cm, F) * rho_kapP)
     return packets, tallies
 
 

@@ -41,6 +41,47 @@ class ChemicalODE:
         # ThermalBalance instance (ops.thermal); None = frozen temperature
         self.thermal = thermal
         self.key_idx = jnp.asarray(net.key_species_idx)
+        # jitted batch solvers + pure batch closures, keyed by the static
+        # solve configuration: ONE compile serves every chunk of a sweep
+        # (environments ride through as traced `args`)
+        self._solver_cache: dict = {}
+        self._fns_cache: dict = {}
+
+    def _batch_fns(self, evolT: bool, with_tenv: bool):
+        """Pure (yb, args) closures for the batch solver; cached so the
+        same function objects (and hence the same jit cache entries) are
+        reused across chunks."""
+        key = (evolT, with_tenv)
+        if key in self._fns_cache:
+            return self._fns_cache[key]
+        if with_tenv:
+            def f_b(yb, args):
+                envs, tenvs = args
+                return jax.vmap(
+                    lambda y, e, te: self.make_f(e, evolT, te)(y))(
+                    yb, envs, tenvs)
+
+            def jac_b(yb, args):
+                envs, tenvs = args
+                return jax.vmap(
+                    lambda y, e, te: self.make_jac(e, evolT, te)(y))(
+                    yb, envs, tenvs)
+        else:
+            def f_b(yb, args):
+                envs, _ = args
+                return jax.vmap(
+                    lambda y, e: self.make_f(e, evolT, None)(y))(yb, envs)
+
+            def jac_b(yb, args):
+                envs, _ = args
+                return jax.vmap(
+                    lambda y, e: self.make_jac(e, evolT, None)(y))(yb, envs)
+
+        def sanity_b(yb):
+            return jax.vmap(self._sanity(evolT))(yb)
+
+        self._fns_cache[key] = (f_b, jac_b, sanity_b)
+        return self._fns_cache[key]
 
     def _rates(self, env, T):
         return compute_rates(self.tab, env, T, self.diff2des,
@@ -148,38 +189,46 @@ class ChemicalODE:
                       atol, first_step=1e-8, evolT: bool = False, tenvs=None,
                       max_steps_per_interval: int = 2000,
                       refac_every: int = 2,
-                      n_refine: int = 1) -> bdfmod.BDFResult:
+                      n_refine: int = 1, host_loop: bool = False,
+                      max_wall_s: float | None = None,
+                      progress_cb=None) -> bdfmod.BDFResult:
         """Batch-native solve: envs/tenvs fields and y0/T0/rtol/atol carry
         a leading batch axis; touts is shared.  Uses bdf_solve_batch so
         Jacobian/factorization refreshes are batch-global branches (a
-        vmapped per-lane solver would evaluate them every round)."""
+        vmapped per-lane solver would evaluate them every round).
 
-        def f_b(yb):
-            def one(y, env, tenv):
-                return self.make_f(env, evolT, tenv)(y)
-
-            if tenvs is None:
-                return jax.vmap(lambda y, e: self.make_f(e, evolT, None)(y))(
-                    yb, envs)
-            return jax.vmap(one)(yb, envs, tenvs)
-
-        def jac_b(yb):
-            def one(y, env, tenv):
-                return self.make_jac(env, evolT, tenv)(y)
-
-            if tenvs is None:
-                return jax.vmap(
-                    lambda y, e: self.make_jac(e, evolT, None)(y))(yb, envs)
-            return jax.vmap(one)(yb, envs, tenvs)
-
-        def sanity_b(yb):
-            return jax.vmap(self._sanity(evolT))(yb)
-
+        host_loop=True drives one jitted device call per record interval
+        (bounded device programs for TPU watchdogs, progress reporting,
+        and the reference's wall-clock guard via max_wall_s)."""
+        f_b, jac_b, sanity_b = self._batch_fns(evolT, tenvs is not None)
+        args = (envs, tenvs)
         y0 = jnp.concatenate(
             [jnp.asarray(y0_species), jnp.asarray(Tgas0)[:, None]], axis=1)
-        return bdfmod.bdf_solve_batch(
-            f_b, jac_b, y0, 0.0, touts, rtol, atol, first_step,
-            max_steps_per_interval, sanity_b, refac_every, n_refine)
+        if host_loop:
+            key = ("rec", evolT, tenvs is not None,
+                   max_steps_per_interval, n_refine)
+            record = self._solver_cache.get(key)
+            if record is None:
+                record = bdfmod.make_record_jit(
+                    f_b, jac_b, max_steps_per_interval, sanity_b, n_refine)
+                self._solver_cache[key] = record
+            return bdfmod.bdf_solve_batch_host(
+                f_b, jac_b, y0, 0.0, touts, rtol, atol, first_step,
+                max_steps_per_interval, sanity_b, n_refine,
+                max_wall_s=max_wall_s, progress_cb=progress_cb,
+                args=args, record_fn=record)
+        key = ("scan", evolT, tenvs is not None,
+               max_steps_per_interval, n_refine)
+        solver = self._solver_cache.get(key)
+        if solver is None:
+            import functools
+            solver = jax.jit(functools.partial(
+                bdfmod.bdf_solve_batch, f_b, jac_b,
+                max_steps_per_interval=max_steps_per_interval,
+                sanity_b=sanity_b, refac_every=refac_every,
+                n_refine=n_refine))
+            self._solver_cache[key] = solver
+        return solver(y0, 0.0, touts, rtol, atol, first_step, args=args)
 
 
 def tolerance_ladder(net: ChemNet, level: int, rtol0: float, atol0: float,

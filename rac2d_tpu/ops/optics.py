@@ -51,6 +51,15 @@ class McConfig:
     # (reference mc_conf%do_fill_blank, data_struct.f90:175)
     do_fill_blank: bool = False
     fill_blank_threshold: int = 3
+    # Modified Random Walk (Min et al. 2009; Robitaille 2010): collapse
+    # the O((R/mfp)^2)-step random walk deep inside optically thick
+    # cells into single diffusion steps.  The reference has no such
+    # accelerator (it walks every scattering, montecarlo.f90:577) —
+    # this is a TPU-batch necessity: a handful of thick-cell packets
+    # otherwise keep the whole packet batch spinning.
+    use_mrw: bool = True
+    mrw_gamma: float = 4.0       # require R0 > gamma * transport mfp
+    mrw_lam_min: float = 1e4     # only thermalized (IR) packets, angstrom
 
 
 class McTables(NamedTuple):
@@ -71,6 +80,13 @@ class McTables(NamedTuple):
     # reemission sampling: lambda-bin index quantiles per (dust, T)
     reemit_q: np.ndarray     # [n_dust, nT, n_quantile] int32
     pmass: np.ndarray        # [n_dust] particle mass g
+    # Modified-Random-Walk tables (Min et al. 2009)
+    kap_P: np.ndarray        # [n_dust, nT] Planck-mean kappa_abs, cm^2/g
+    kap_trR: np.ndarray     # [n_dust, nT] Rosseland-mean transport
+    #                          extinction kab + ksc*(1-g), cm^2/g
+    mrw_lnx: np.ndarray      # [n_mrw] inverse CDF of the first-passage
+    #                          time: uniform u -> ln(y), path length
+    #                          = -3 R0^2/(pi^2 mfp) * ln(y)
 
 
 def lam_to_keV(lam_A):
@@ -123,6 +139,33 @@ def master_lam_grid(dusts: list[DustMixture], cfg: McConfig,
     return lam
 
 
+def mrw_lnx_table(n: int = 256, n_terms: int = 64):
+    """Inverse CDF of the diffusion first-passage time from the center of
+    a sphere (Min et al. 2009 eq. 8): the escape-time CDF is
+    P(t) = 2 sum_n (-1)^{n+1} y^{n^2} with y = exp(-t/t0),
+    t0 = 3 R0^2 / (pi^2 c mfp).  Returns ln(y) sampled at n uniform
+    quantiles; the traveled path is ct = -3 R0^2/(pi^2 mfp) ln(y)."""
+    a = np.logspace(-6, np.log10(60.0), 4001)        # a = -ln y
+    S = np.empty_like(a)
+    big = a >= 0.7
+    # direct alternating series (converges fast for a >= ~0.7)
+    ns = np.arange(1, n_terms + 1)
+    sgn = np.where(ns % 2 == 1, 1.0, -1.0)
+    S[big] = 2.0 * (sgn[None, :]
+                    * np.exp(-a[big][:, None] * (ns * ns)[None, :])).sum(1)
+    # small a: the truncated series is non-monotone; use the Jacobi
+    # theta modular transform S = 1 - sqrt(pi/a) theta2(exp(-pi^2/a))
+    q = np.exp(-np.pi ** 2 / a[~big])
+    m = np.arange(0, 8)
+    th2 = 2.0 * (q[:, None] ** (((m + 0.5) ** 2))[None, :]).sum(1)
+    S[~big] = 1.0 - np.sqrt(np.pi / a[~big]) * th2
+    S = np.clip(S, 0.0, 1.0)
+    # S(a) is the survival function (decreasing in a); sample u = S
+    u = (np.arange(n) + 0.5) / n
+    a_of_u = np.interp(u, S[::-1], a[::-1])
+    return -a_of_u
+
+
 def build_tables(dusts: list[DustMixture], cfg: McConfig,
                  h2o_lam=None, h2o_sigma=None) -> McTables:
     from ..io import bethell
@@ -171,11 +214,19 @@ def build_tables(dusts: list[DustMixture], cfg: McConfig,
     lam_mid = 0.5 * (lam_cm[1:] + lam_cm[:-1])
     lut_vals = np.zeros((n_dust, nT))
     reemit_q = np.zeros((n_dust, nT, cfg.n_quantile), dtype=np.int32)
+    kap_P = np.zeros((n_dust, nT))
+    kap_trR = np.zeros((n_dust, nT))
     qs = (np.arange(cfg.n_quantile) + 0.5) / cfg.n_quantile
     for i in range(n_dust):
         kmid = 0.5 * (kab[i][1:] + kab[i][:-1])
+        smid = 0.5 * (ksc[i][1:] + ksc[i][:-1])
+        gmid = 0.5 * (g[i][1:] + g[i][:-1])
+        ktr = kmid + smid * (1.0 - gmid)      # transport extinction
         for t in range(nT):
-            B = np.array(planck.B_lambda(Tds[t], lam_mid))
+            # numpy, NOT jnp: host tables must never run on the
+            # accelerator (TPU-emulated f64 expm1 NaNs at large x,
+            # which poisoned the Tdust LUT at prepare time)
+            B = planck.B_lambda_np(Tds[t], lam_mid)
             seg = dlam * kmid * B
             cum = np.concatenate([[0.0], np.cumsum(seg)])
             tot = cum[-1]
@@ -183,13 +234,34 @@ def build_tables(dusts: list[DustMixture], cfg: McConfig,
             if tot > 0:
                 reemit_q[i, t] = np.clip(
                     np.searchsorted(cum / tot, qs) - 1, 0, nlam - 2)
+            # Planck mean (kappa_abs B-weighted) and Rosseland mean of
+            # the transport extinction (dB/dT-weighted harmonic mean)
+            wB = dlam * B
+            sB = wB.sum()
+            if sB > 0:
+                kap_P[i, t] = tot / sB
+            xx = np.clip(c.hPlanck_CGS * c.SpeedOfLight_CGS
+                         / (lam_mid * c.kBoltzmann_CGS * Tds[t]), 0, 700.0)
+            # dB/dT = B * x e^x / ((e^x - 1) T)
+            dBdT = B * xx / (-np.expm1(-xx)) / Tds[t]
+            wR = dlam * dBdT
+            # harmonic mean restricted to bands with opacity: the dust
+            # kappa is zeroed in the X-ray band where the exp-clipped
+            # Planck tail is tiny-but-nonzero; dividing by a zero kappa
+            # there floods the denominator and collapses the mean
+            valid = (wR > 0) & (ktr > 0)
+            sR = np.where(valid, wR, 0.0).sum()
+            den = np.where(valid, wR / np.maximum(ktr, 1e-300), 0.0).sum()
+            if sR > 0 and den > 0:
+                kap_trR[i, t] = sR / den
     return McTables(
         lam=lam, is_xray=is_xray, kab=kab, ksc=ksc, g=g,
         xr_gas_abs=xr_gas_abs, xr_gas_sca=xr_gas_sca,
         xr_dus_abs0=xr_dus_abs0, xr_dus_sca=xr_dus_sca,
         sigma_h2o=sigma_h2o, lut_Tds=Tds, lut_vals=lut_vals,
         reemit_q=reemit_q,
-        pmass=np.array([d.pmass for d in dusts]))
+        pmass=np.array([d.pmass for d in dusts]),
+        kap_P=kap_P, kap_trR=kap_trR, mrw_lnx=mrw_lnx_table())
 
 
 def tdust_from_energy(tab: McTables, idust: int, val):

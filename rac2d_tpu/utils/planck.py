@@ -30,6 +30,24 @@ def B_lambda(T, lam_cm):
     return jnp.where(T > 0.0, val, 0.0)
 
 
+def B_lambda_np(T, lam_cm):
+    """Pure-numpy B_lambda for HOST-side table building.
+
+    The jnp version executes on the default device; on TPU the emulated
+    f64 expm1 returns NaN for large arguments, which poisoned the
+    Tdust lookup tables built at prepare time.  Host tables must never
+    touch the accelerator."""
+    import numpy as np
+    T = np.asarray(T, dtype=np.float64)
+    lam_cm = np.asarray(lam_cm, dtype=np.float64)
+    x = np.clip(c.hPlanck_CGS * c.SpeedOfLight_CGS
+                / (lam_cm * c.kBoltzmann_CGS * np.maximum(T, 1e-100)),
+                0.0, c.max_exp)
+    val = (2.0 * c.hPlanck_CGS * c.SpeedOfLight_CGS ** 2
+           / lam_cm ** 5) / np.expm1(x)
+    return np.where(T > 0.0, val, 0.0)
+
+
 def tau2beta(tau):
     """Escape probability beta(tau) = (1 - exp(-3 tau)) / (3 tau).
 

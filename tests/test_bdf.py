@@ -88,8 +88,8 @@ def test_batch_matches_single():
     from rac2d_tpu.ops.bdf import bdf_solve_batch
     f, jac = _robertson()
     B = 4
-    f_b = jax.vmap(f)
-    jac_b = jax.vmap(jac)
+    f_b = lambda y, a: jax.vmap(f)(y)
+    jac_b = lambda y, a: jax.vmap(jac)(y)
     touts = jnp.asarray(np.logspace(-3, 3, 8))
     rtol = jnp.full(3, 1e-6)
     atol = jnp.full(3, 1e-10)
@@ -107,3 +107,45 @@ def test_batch_matches_single():
     for b in range(B):
         d = np.abs(np.asarray(resb.ys[b]) - ref)
         assert (d < 50 * (1e-6 * np.abs(ref) + 1e-10)).all()
+
+
+def test_host_loop_matches_scan():
+    """bdf_solve_batch_host (one device call per record interval) gives
+    exactly the same results as the scan-driven bdf_solve_batch."""
+    from rac2d_tpu.ops.bdf import bdf_solve_batch, bdf_solve_batch_host
+    f, jac = _robertson()
+    B = 3
+    f_b = lambda y, a: jax.vmap(f)(y)
+    jac_b = lambda y, a: jax.vmap(jac)(y)
+    touts = jnp.asarray(np.logspace(-3, 3, 6))
+    rtol = jnp.tile(jnp.full(3, 1e-6), (B, 1))
+    atol = jnp.tile(jnp.full(3, 1e-10), (B, 1))
+    y0b = jnp.tile(jnp.array([1.0, 0.0, 0.0]), (B, 1))
+    r1 = bdf_solve_batch(f_b, jac_b, y0b, 0.0, touts, rtol, atol, 1e-6)
+    seen = []
+    r2 = bdf_solve_batch_host(f_b, jac_b, y0b, 0.0, touts, rtol, atol,
+                              1e-6, progress_cb=lambda i, s: seen.append(i))
+    assert seen == list(range(6))
+    assert not bool(r2.fail.any())
+    np.testing.assert_allclose(np.asarray(r1.ys), np.asarray(r2.ys),
+                               rtol=1e-12, atol=0)
+    np.testing.assert_array_equal(np.asarray(r1.n_steps),
+                                  np.asarray(r2.n_steps))
+
+
+def test_host_loop_wall_clock_guard():
+    """With an exhausted wall budget the host loop marks unfinished lanes
+    failed instead of burning the full interval ladder (reference
+    'Premature finish', src/chemistry.f90:480-491)."""
+    from rac2d_tpu.ops.bdf import bdf_solve_batch_host
+    f, jac = _robertson()
+    f_b = lambda y, a: jax.vmap(f)(y)
+    jac_b = lambda y, a: jax.vmap(jac)(y)
+    touts = jnp.asarray(np.logspace(-3, 3, 6))
+    rtol = jnp.tile(jnp.full(3, 1e-6), (1, 1))
+    atol = jnp.tile(jnp.full(3, 1e-10), (1, 1))
+    y0b = jnp.tile(jnp.array([1.0, 0.0, 0.0]), (1, 1))
+    r = bdf_solve_batch_host(f_b, jac_b, y0b, 0.0, touts, rtol, atol,
+                             1e-6, max_wall_s=0.0)
+    assert bool(r.fail.all())
+    assert r.ys.shape == (1, 6, 3)

@@ -1,0 +1,135 @@
+"""Monte Carlo transport tests: MRW sampling, opacity means, and an
+optically thin analytic check.
+
+Fixtures follow SURVEY.md section 4's implied strategy: (b) MC RT on an
+optically thin configuration with an analytic answer, plus statistical
+checks of the new Modified-Random-Walk machinery (no analogue in the
+reference, which walks every scattering: src/montecarlo.f90:577).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rac2d_tpu.io.draine import DustMixture
+from rac2d_tpu.ops import geometry, mcrt, optics
+
+
+def test_mrw_first_passage_moments():
+    """The sampled first-passage -ln(y) has mean pi^2/6 (diffusion from
+    the center of a sphere; Min et al. 2009)."""
+    t = optics.mrw_lnx_table(n=4096)
+    assert (np.diff(t) >= 0).all()
+    assert abs(-t.mean() - np.pi ** 2 / 6) < 0.01
+    # all paths finite and positive
+    assert np.isfinite(t).all() and (t < 0).all()
+
+
+def _gray_mixture(kab=100.0, ksc=50.0, g=0.5):
+    lam = np.logspace(2, 7.5, 300)   # angstrom
+    n = len(lam)
+    return DustMixture(lam=lam, kab=np.full(n, kab), ksc=np.full(n, ksc),
+                       g=np.full(n, g), pmass=1e-14, rav=0.1, r2av=0.01,
+                       r3av=1e-3, rho_material=3.0)
+
+
+def test_planck_rosseland_gray():
+    """For gray opacity the Planck mean equals kappa_abs and the
+    Rosseland transport mean equals kab + ksc (1 - g) at temperatures
+    whose emission stays inside the lambda grid."""
+    mix = _gray_mixture()
+    tab = optics.build_tables([mix], optics.McConfig(nlen_lut=64))
+    lut = tab.lut_Tds
+    i = np.searchsorted(lut, 100.0)
+    assert abs(tab.kap_P[0, i] - 100.0) / 100.0 < 0.05
+    ktr_expect = 100.0 + 50.0 * (1.0 - 0.5)
+    assert abs(tab.kap_trR[0, i] - ktr_expect) / ktr_expect < 0.05
+    # tables are sane across the full T range (no zero/garbage entries)
+    assert (tab.kap_P[0] > 1.0).all()
+    assert (tab.kap_trR[0] > 1.0).all()
+    assert np.isfinite(tab.lut_vals).all()
+
+
+def _uniform_sphere_model(tau_half=0.05, n_dust_rho=None):
+    """One-cell annulus ('sphere' stand-in) with uniform gray dust."""
+    mix = _gray_mixture(kab=100.0, ksc=0.0, g=0.0)
+    cfg = optics.McConfig(nlen_lut=64)
+    tab = optics.build_tables([mix], cfg)
+    # a single cell spanning r in [0.01, 1] AU, z in [0, 1] AU
+    import rac2d_tpu.constants as c
+    rho = tau_half / (100.0 * 1.0 * c.AU2cm)   # kab * rho * 1AU = tau_half
+    rmin = np.array([0.01])
+    rmax = np.array([1.0])
+    zmin = np.array([0.0])
+    zmax = np.array([1.0])
+    gi = geometry.GridIndex(
+        r_edges=jnp.asarray([0.01, 1.0]),
+        z_edges=jnp.asarray([[0.0, 1.0]]),
+        cell_of=jnp.asarray([[0]], dtype=jnp.int32),
+        n_z=jnp.asarray([1], jnp.int32),
+        zmax_dom=1.0, rmin_dom=0.01, rmax_dom=1.0)
+    n = 1
+    cells = mcrt.McCells(
+        rmin=jnp.asarray(rmin), rmax=jnp.asarray(rmax),
+        zmin=jnp.asarray(zmin), zmax=jnp.asarray(zmax),
+        using=jnp.ones(n, bool), n_gas=jnp.zeros(n), n_HI=jnp.zeros(n),
+        n_H2O=jnp.zeros(n), Tgas=jnp.full(n, 100.0),
+        rho_dust=jnp.full((1, n), rho),
+        dust_depletion=jnp.ones(n), d2h=jnp.full(n, 1e-12),
+        grain_a=jnp.full(n, 1e-5),
+        Tdust=jnp.full((1, n), 50.0),
+        mdust_cell=jnp.full((1, n), 1.0),
+        abso_wei=jnp.ones((1, n)))
+    model = mcrt.McModel(tab=tab, gi=gi, cells=cells, star_mass=1.0)
+    return model, tab, rho
+
+
+def test_mc_optically_thin_absorption():
+    """Thin limit: absorbed fraction along a half-height path ~ tau, and
+    energy is conserved between escape and absorption tallies."""
+    model, tab, rho = _uniform_sphere_model(tau_half=0.05)
+    B = 4000
+    key = jax.random.PRNGKey(0)
+    lam = np.full(B, 5.5e4)       # 5.5 micron, inside the dust grid
+    en = np.ones(B)
+    pk = mcrt.launch_packets(model, key, jnp.asarray(lam), jnp.asarray(en),
+                             0.0, 1.0)
+    tall = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
+    pk, tall = mcrt.mc_pass(model, key, pk, tall, use_mrw=False)
+    st = np.asarray(pk.status)
+    assert (st != mcrt.ST_ACTIVE).all()
+    absorbed = float(np.asarray(tall.en_gain).sum())
+    # continuous estimator ~ <tau along path> in the thin limit
+    assert 0.02 < absorbed / B < 0.2
+    assert np.isfinite(np.asarray(tall.flux)).all()
+
+
+def test_mrw_thick_cell_matches_plain_walk():
+    """In a very thick gray cell the MRW-accelerated pass deposits the
+    same total energy as the brute-force walk (same estimator, far
+    fewer loop steps), and runs to completion."""
+    model, tab, rho = _uniform_sphere_model(tau_half=300.0)
+    B = 600
+    lam = np.full(B, 3.0e5)      # 30 micron: thermalized IR
+    en = np.ones(B)
+
+    res = {}
+    for use_mrw in (False, True):
+        key = jax.random.PRNGKey(1)
+        pk = mcrt.launch_packets(model, key, jnp.asarray(lam),
+                                 jnp.asarray(en), 0.0, 1.0)
+        tall = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
+        pk, tall = mcrt.mc_pass(model, key, pk, tall, use_mrw=use_mrw,
+                                mrw_gamma=4.0, max_steps=40_000)
+        res[use_mrw] = (float(np.asarray(tall.en_gain).sum()),
+                        np.asarray(pk.status), np.asarray(pk.e_count))
+
+    en_plain, st_plain, ec_plain = res[False]
+    en_mrw, st_mrw, ec_mrw = res[True]
+    # MRW must have fired and cut the event counts dramatically
+    assert ec_mrw.max() < ec_plain.max() / 5
+    # same physical answer within MC noise
+    assert abs(en_mrw - en_plain) / en_plain < 0.15
+    # all packets finished under MRW
+    assert (st_mrw != mcrt.ST_ACTIVE).all()
