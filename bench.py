@@ -36,7 +36,9 @@ def main():
     y0 = umist.load_initial_abundances(net, defaults.INIT_ABUNDANCES)
     ode = odesys.ChemicalODE(net)
 
-    B = 32 if backend == "cpu" else 128
+    import os
+    B = int(os.environ.get("RAC2D_BENCH_B",
+                           32 if backend == "cpu" else 128))
     rng = np.random.default_rng(0)
     n_gas = 10 ** rng.uniform(4, 8, B)
     Tg = 10 ** rng.uniform(1, 2, B)
@@ -64,7 +66,11 @@ def main():
     def solve(y, T):
         return ode.solve_batched(
             envs, y, T, touts, rtol_b, atol_b, first_step=1e-8,
-            evolT=False, max_steps_per_interval=400, host_loop=True)
+            evolT=False, max_steps_per_interval=400, host_loop=True,
+            # inexact Newton: skip the f64 refinement matvec (emulated
+            # f64 dominates TPU round time); Newton's own convergence
+            # test still bounds the corrector residual
+            n_refine=int(os.environ.get("RAC2D_BENCH_NREFINE", 0)))
 
     # warmup/compile
     res = solve(y0b, T0b)

@@ -567,7 +567,10 @@ class DiskModel:
                         tenvs=tenv,
                         max_steps_per_interval=cfg.max_steps_per_interval,
                         host_loop=True,
-                        max_wall_s=cfg.chunk_wall_s or None)
+                        max_wall_s=cfg.chunk_wall_s or None,
+                        progress_cb=lambda i, s: (
+                            self.say(f"      ...interval {i}")
+                            if i and i % 16 == 0 else None))
                 ok = ~np.asarray(res.fail)[:n_real]
                 if ok.all() or level == cfg.nlocal_iter:
                     break

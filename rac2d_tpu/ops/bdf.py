@@ -935,7 +935,7 @@ def bdf_solve_batch_host(f_b: Callable, jac_b: Callable, y0, t0, touts,
         _make_batch_record(f_b, jac_b, max_steps_per_interval, sanity_b,
                            n_refine))
 
-    t_start = _time.time()
+    t_start = None
     ts_l, ys_l = [], []
     aborted = False
     for i, tout in enumerate(touts_np):
@@ -947,12 +947,19 @@ def bdf_solve_batch_host(f_b: Callable, jac_b: Callable, y0, t0, touts,
         state, (t_rec, y_rec) = record(state, jnp.asarray(tout),
                                        jnp.asarray(t_bound), rtol, atol,
                                        args)
+        if max_wall_s is not None:
+            # device calls are async: block so the wall guard measures
+            # real compute, and start the budget AFTER the first call
+            # (which carries the one-off trace+compile)
+            jax.block_until_ready(t_rec)
+            if t_start is None:
+                t_start = _time.time()
+            elif _time.time() - t_start > max_wall_s:
+                aborted = True
         ts_l.append(t_rec)
         ys_l.append(y_rec)
         if progress_cb is not None:
             progress_cb(i, state)
-        if max_wall_s is not None and _time.time() - t_start > max_wall_s:
-            aborted = True
     if aborted:
         state = state._replace(fail=state.fail | (state.t < t_bound))
     ts = jnp.stack(ts_l, axis=1)

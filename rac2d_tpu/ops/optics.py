@@ -206,6 +206,13 @@ def build_tables(dusts: list[DustMixture], cfg: McConfig,
     if h2o_lam is not None:
         sigma_h2o = np.interp(lam, h2o_lam, h2o_sigma, left=0.0, right=0.0)
 
+    if cfg.disallow_any_scattering:
+        # debugging switch: pure-absorption transport (reference
+        # mc_conf%disallow_any_scattering)
+        ksc[:] = 0.0
+        xr_gas_sca[:] = 0.0
+        xr_dus_sca[:] = 0.0
+
     # Tdust LUT: cumulative integral over lambda of kab * B_lambda(T)
     nT = cfg.nlen_lut
     Tds = np.logspace(np.log10(cfg.TdustMin), np.log10(cfg.TdustMax), nT)
