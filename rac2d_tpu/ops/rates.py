@@ -110,6 +110,17 @@ class RateTables(NamedTuple):
 
 SHIELD_SPECIES = {"H2": 1, "CO": 2, "H2O": 3, "OH": 4}
 
+# The reference's chem_cal_rates does NOT clamp exp() arguments (f64 exp
+# underflows to 0 gracefully); phy_max_exp=222 is only used elsewhere.
+# Clamp below at the true f64 underflow limit (exp(-745) ~ 5e-324) so the
+# result is bit-compatible with unclamped f64 exp, and above at +222 as an
+# overflow guard for insane inputs.
+_EXP_LO = -745.0
+
+
+def _exp(x):
+    return jnp.exp(jnp.clip(x, _EXP_LO, c.max_exp))
+
 
 def build_rate_tables(net: ChemNet) -> RateTables:
     nR = net.n_reactions
@@ -204,7 +215,7 @@ def _mobility(vibfreq, mass_num, Edesorb, Tdust, diff2des):
         2.0 * mass_num * (c.mProton_CGS * c.kBoltzmann_CGS * diff2des)
         * jnp.maximum(Edesorb, 0.0))
     arg = jnp.maximum(-Edesorb * diff2des / Tdust, tunnel)
-    out = vibfreq * jnp.exp(jnp.clip(arg, -c.max_exp, 0.0))
+    out = vibfreq * jnp.exp(jnp.clip(arg, _EXP_LO, 0.0))
     return jnp.nan_to_num(out)
 
 
@@ -220,7 +231,7 @@ def _branching_ratio(abc, T_range, Tdust):
         2.0 * T_range[:, 0] * c.mProton_CGS * c.kBoltzmann_CGS
         * jnp.maximum(C0, 0.0))
     arg = jnp.maximum(-C0 / Tdust, tunnel)
-    br = jnp.where(C0 != 0.0, A * jnp.exp(jnp.clip(arg, -c.max_exp, 0.0)), A)
+    br = jnp.where(C0 != 0.0, A * jnp.exp(jnp.clip(arg, _EXP_LO, 0.0)), A)
     return jnp.nan_to_num(br)
 
 
@@ -244,13 +255,39 @@ def _dupli_select(k, d_endpoint, group, n_groups):
     return jnp.where(keep, k, 0.0)
 
 
+# Precision of the rate-formula evaluation.  f32 was tried for the TPU
+# (where f64 exp/pow are software-emulated) but the network's dynamic
+# range genuinely exceeds f32: negative-barrier reactions clamped to
+# their T_range produce exp arguments up to +222 (k ~ 1e90), and
+# borderline ice-desorption rates live at 1e-32..1e-35 /yr — both outside
+# f32.  Keep f64; the fixed-temperature solve path avoids the cost by
+# computing k once per solve (see odesys.ChemicalODE.solve_batched).
+RATES_DTYPE = "f64"
+
+
+def _rates_dtype():
+    return jnp.float32 if RATES_DTYPE == "f32" else jnp.float64
+
+
 def compute_rates(tab: RateTables, env: CellEnv, Tgas, diff2des=0.5,
-                  h2_form_use_moeq: bool = False) -> jnp.ndarray:
+                  h2_form_use_moeq: bool = False,
+                  dtype=None) -> jnp.ndarray:
     """Rate coefficient vector k[nR] for one cell at gas temperature Tgas.
 
     Pure function of (tables, environment, T); jit/vmap-friendly.  The
     formulas follow reference src/chemistry.f90:591-966 case by case.
+    Returns f64; intermediate transcendentals run in `dtype`
+    (default: _rates_dtype()).
     """
+    dt = dtype or _rates_dtype()
+    if dt == jnp.float32:
+        cast = lambda a: a.astype(jnp.float32) \
+            if jnp.issubdtype(a.dtype, jnp.floating) else a
+        tab = jax.tree.map(lambda a: cast(a)
+                           if isinstance(a, jnp.ndarray) else a, tab)
+        env = jax.tree.map(cast, env)
+        Tgas = jnp.asarray(Tgas).astype(jnp.float32)
+        diff2des = jnp.float32(diff2des)
     T = jnp.maximum(Tgas, 1e-30)
     Td = jnp.maximum(env.Tdust, 1e-30)
     A, B, C0 = tab.abc[:, 0], tab.abc[:, 1], tab.abc[:, 2]
@@ -259,8 +296,7 @@ def compute_rates(tab: RateTables, env: CellEnv, Tgas, diff2des=0.5,
     T300 = T / 300.0
 
     def arrh(Te):
-        return A * (Te / 300.0) ** B * jnp.exp(
-            jnp.clip(-C0 / Te, -c.max_exp, c.max_exp))
+        return A * (Te / 300.0) ** B * _exp(-C0 / Te)
 
     # Pagani 2009 Coulomb-focusing factors (reference :603-620)
     Tred = c.kBoltzmann_SI * T / (
@@ -277,7 +313,7 @@ def compute_rates(tab: RateTables, env: CellEnv, Tgas, diff2des=0.5,
     # --- itype 5: modified Arrhenius with T-range clamping for C<0 ---
     Tc = jnp.where(C0 < 0.0,
                    jnp.where(Tl > T, Tl, jnp.where(Tu < T, Tu, T)), T)
-    k5 = A * (Tc / 300.0) ** B * jnp.exp(jnp.clip(-C0 / Tc, -c.max_exp, c.max_exp))
+    k5 = A * (Tc / 300.0) ** B * _exp(-C0 / Tc)
 
     # --- itype 6: strict T range ---
     k6 = jnp.where((Tl > T) | (Tu < T), 0.0, arrh(T))
@@ -289,13 +325,11 @@ def compute_rates(tab: RateTables, env: CellEnv, Tgas, diff2des=0.5,
     # --- itype 3: photo-reactions ---
     fss_ism = env.f_selfshielding_toISM[tab.shield_code]
     fss_star = env.f_selfshielding_toStar[tab.shield_code]
-    term_ism = env.G0_UV_toISM * jnp.exp(
-        jnp.clip(-C0 * env.Av_toISM, -c.max_exp, 0.0)) * fss_ism
+    term_ism = env.G0_UV_toISM * _exp(-C0 * env.Av_toISM) * fss_ism
     term_star = jnp.where(
         tab.is_H2_photo,
         env.G0_UV_H2phd * fss_star,
-        env.G0_UV_toStar * jnp.exp(
-            jnp.clip(-C0 * env.Av_toStar, -c.max_exp, 0.0)) * fss_star)
+        env.G0_UV_toStar * _exp(-C0 * env.Av_toStar) * fss_star)
     k3 = A * (term_ism + term_star)
 
     # --- itype 13: Lyman-alpha driven ---
@@ -318,7 +352,7 @@ def compute_rates(tab: RateTables, env: CellEnv, Tgas, diff2des=0.5,
 
     # --- itype 62: thermal + cosmic-ray desorption ---
     kdes = tab.vib1 * (
-        jnp.exp(jnp.clip(-C0 / Td, -c.max_exp, 0.0))
+        _exp(-C0 / Td)
         + COSMIC_DESORP_PREFACTOR * cr_rel
         * jnp.exp(-C0 / COSMIC_DESORP_GRAIN_T))
     # top-layer-only correction (reference :848-851); the uncorrected
@@ -342,7 +376,7 @@ def compute_rates(tab: RateTables, env: CellEnv, Tgas, diff2des=0.5,
     photoyield = A + B * Td
     k75 = (env.G0_UV_toStar_photoDesorb * c.Habing_photon_flux_CGS
            + env.G0_UV_toISM * c.Habing_photon_flux_CGS
-           * jnp.exp(jnp.clip(-c.UVext2Av * env.Av_toISM, -c.max_exp, 0.0))) \
+           * _exp(-c.UVext2Av * env.Av_toISM)) \
         * sig_dust * env.ratioDust2HnucNum * photoyield
 
     k = jnp.zeros_like(A)
@@ -365,4 +399,4 @@ def compute_rates(tab: RateTables, env: CellEnv, Tgas, diff2des=0.5,
     # duplicate-reaction resolution by T-range proximity
     d_end = jnp.minimum(jnp.abs(Tl - T), jnp.abs(Tu - T))
     k = _dupli_select(k, d_end, tab.dupli_group, tab.n_dupli_groups)
-    return k
+    return k.astype(jnp.float64)
