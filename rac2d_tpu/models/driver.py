@@ -112,6 +112,10 @@ class DiskConfig:
     # ad-hoc O/C(/N) depletion of the initial abundances (reference
     # deplete_oxygen_carbon_adhoc, disk.f90:2150-2420); None = off
     depletion: object = None
+    # dust albedo entering the CR-induced-photon rate correction
+    # (reference cell_params_ini%omega_albedo, a config constant 0.5 in
+    # template_configure.dat:233 — "only for chemistry")
+    cell_omega_albedo: float = 0.5
 
 
 class DiskModel:
@@ -236,6 +240,9 @@ class DiskModel:
         rc, zc = g.centers()
         self.r_cells = rc
         self.z_cells = zc
+        # sweep-level shielding/Av caches are stale after any density or
+        # geometry change
+        self._shield = None
         self.omega_K = np.sqrt(c.GravitationConst_CGS * cfg.star_mass
                                * c.Msun_CGS / (rc * c.AU2cm) ** 3)
         self.velo_grad = 0.5 * np.sqrt(
@@ -332,7 +339,13 @@ class DiskModel:
             using=jnp.asarray(g.using), n_gas=jnp.asarray(g.n0),
             n_HI=jnp.asarray(g.n0 * self.X[i_HI]),
             n_H2O=jnp.asarray(g.n0 * self.X[i_H2O]),
-            Tgas=jnp.asarray(np.maximum(self.Tgas, 100.0)),
+            # Lya Voigt width at the ACTUAL cell Tgas (reference
+            # update_gl_optical_OTF(c%par%Tgas), montecarlo.f90:374);
+            # before the first chemistry sweep Tgas is unset -> fall
+            # back to Tdust (the bootstrap MC has no gas solution yet)
+            Tgas=jnp.asarray(np.where(
+                self.Tgas > 0.0, np.maximum(self.Tgas, 1.0),
+                np.maximum(self.Tdust, 1.0))),
             rho_dust=jnp.asarray(self.rho_dust),
             dust_depletion=jnp.full(g.n_cells, self.cfg.dust_depletion),
             d2h=jnp.asarray(self.d2h),
@@ -349,13 +362,25 @@ class DiskModel:
         lam_pk, en_pk = starmod.packet_ladder(
             self.star, cfg.nph_per_pass, self.mc_cfg.refine_UV,
             self.mc_cfg.refine_LyA, self.mc_cfg.refine_Xray)
-        # symmetric upper-cone emission scaling (reference
-        # get_mc_stellar_par, montecarlo.f90:82-106)
-        en_pk = en_pk * (cfg.maxw / 4.0)
+        # symmetric-emission energy scaling.  The reference samples BOTH
+        # cones w in (-maxw, maxw) with luminosity (maxw-minw)/4 = maxw/2
+        # of L (get_mc_stellar_par, montecarlo.f90:82-106 with
+        # minw=-maxw, disk.f90:413-414); downward packets reflect
+        # instantly at the z=0 mirror.  We launch the upper cone only, so
+        # the equivalent energy is maxw/2 (NOT maxw/4 — that under-lit
+        # the disk by 2x; caught by tests/test_parity_tdust.py).
+        en_pk = en_pk * (cfg.maxw / 2.0)
         # the f32 transport wants O(1) packet energies: normalize here,
         # scale the energy tallies back to physical units after the pass
         en_scale = float(np.max(en_pk)) or 1.0
         en_norm = np.asarray(en_pk) / en_scale
+        # pad the packet axis to a device-count multiple so the sharded
+        # MC path always engages (zero-energy packets contribute nothing)
+        nd = jax.device_count()
+        if nd > 1 and len(lam_pk) % nd:
+            pad = nd - len(lam_pk) % nd
+            lam_pk = np.concatenate([lam_pk, np.full(pad, lam_pk[-1])])
+            en_norm = np.concatenate([en_norm, np.zeros(pad)])
         nlam = len(self.tab.lam)
         for ip in range(n_passes):
             t0 = time.time()
@@ -367,13 +392,21 @@ class DiskModel:
                                         self.n_dust, 5)
             pk = mcrt.launch_packets(model, key, jnp.asarray(lam_pk),
                                      jnp.asarray(en_norm), 0.0, cfg.maxw)
-            pk, tall = mcrt.mc_pass(
-                model, key, pk, tall,
+            mc_kw = dict(
                 n_quantile=self.mc_cfg.n_quantile,
                 nmax_encounter=self.mc_cfg.nmax_encounter,
                 use_mrw=self.mc_cfg.use_mrw,
                 mrw_gamma=self.mc_cfg.mrw_gamma,
                 mrw_lam_min=self.mc_cfg.mrw_lam_min)
+            if jax.device_count() > 1 \
+                    and len(lam_pk) % jax.device_count() == 0:
+                # packet axis sharded over the device mesh, tallies
+                # all-reduced (SURVEY.md §2 parallelism item 1)
+                from ..parallel import mesh as meshmod
+                pk, tall = meshmod.mc_pass_sharded(
+                    meshmod.make_mesh(), model, key, pk, tall, **mc_kw)
+            else:
+                pk, tall = mcrt.mc_pass(model, key, pk, tall, **mc_kw)
             tall = tall._replace(**{
                 f: getattr(tall, f).astype(jnp.float64) * en_scale
                 for f in ("flux", "dir_flux", "en_gain", "en_gain_abso",
@@ -421,11 +454,16 @@ class DiskModel:
         return 0.5 * (lam[1:] + lam[:-1]), F
 
     # ------------------------------------------------------------------
-    def assemble_envs(self, idx):
-        """CellEnv/ThermalEnv for the cells in index array idx."""
-        cfg = self.cfg
+    def prepare_sweep_fields(self):
+        """Full-disk column/shielding quantities, computed ONCE per
+        chemistry sweep from the previous iterate (the per-chunk
+        recomputation of round 1 redid O(whole disk) work per chunk;
+        using the sweep-start state is the prescribed TPU design,
+        SURVEY.md §2 parallelism item 2 — the reference instead walks
+        rays against the live state cell by cell,
+        disk.f90:1823 update_params_above_alt; difference cataloged in
+        PARITY.md)."""
         g = self.grid
-        f = self.fields
         dv = np.sqrt(c.kBoltzmann_CGS * np.maximum(self.Tgas, 10.0)
                      / (c.mProton_CGS * 1.4 * 2.0))
         sh = columns.compute_shielding(
@@ -438,7 +476,19 @@ class DiskModel:
         # disk.f90:2691-2700, applied at disk.f90:1430)
         Ncol_dust_ism = np.asarray(self.W_ism.matvec(
             jnp.asarray(self.n_dusts.sum(0))))
-        Av_ism = 1.086 * Ncol_dust_ism * np.pi * self.grain_a ** 2 * 2.0
+        self._Av_ism = 1.086 * Ncol_dust_ism * np.pi \
+            * self.grain_a ** 2 * 2.0
+
+    def assemble_envs(self, idx):
+        """CellEnv/ThermalEnv for the cells in index array idx (uses the
+        sweep-level fields from prepare_sweep_fields)."""
+        cfg = self.cfg
+        g = self.grid
+        f = self.fields
+        if not hasattr(self, "_shield") or self._shield is None:
+            self.prepare_sweep_fields()
+        sh = self._shield
+        Av_ism = self._Av_ism
         take = lambda a: jnp.asarray(np.asarray(a)[idx])
         take2 = lambda a: jnp.asarray(np.asarray(a)[:, idx]).T  # [B, 5]
         env = CellEnv(
@@ -455,7 +505,7 @@ class DiskModel:
             G0_UV_H2phd=take(f.G0_UV_H2phd),
             G0_UV_toStar_photoDesorb=take(f.G0_UV_toStar_photoDesorb),
             phflux_Lya=take(f.phflux_Lya),
-            omega_albedo=jnp.full(len(idx), 0.5),
+            omega_albedo=jnp.full(len(idx), cfg.cell_omega_albedo),
             f_selfshielding_toISM=take2(sh.toISM),
             f_selfshielding_toStar=take2(sh.toStar),
             GrainRadius_CGS=take(self.grain_a),
@@ -502,6 +552,65 @@ class DiskModel:
         return self._visser
 
     # ------------------------------------------------------------------
+    def _solve_chunk(self, idx, n_real, level, touts):
+        """Solve one padded cell chunk at the given tolerance level and
+        scatter successful results back into (X, Tgas).  Returns
+        (ok mask over the first n_real lanes, total accepted steps)."""
+        cfg = self.cfg
+        nS = self.net.n_species
+        env, tenv = self.assemble_envs(idx)
+        y0b = jnp.asarray(self.X[:, idx].T)
+        T0b = jnp.asarray(self.Tgas[idx])
+        rtol, atol = odesys.tolerance_ladder(
+            self.net, level, cfg.rtol_chem, cfg.atol_chem,
+            float(self.d2h.mean()))
+        rtol_b = jnp.tile(rtol, (len(idx), 1))
+        atol_b = jnp.tile(atol, (len(idx), 1))
+        if jax.device_count() > 1 and len(idx) % jax.device_count() == 0:
+            # shard the cell batch across the device mesh (pure data
+            # parallelism; SURVEY.md §2 parallelism item 2)
+            from ..parallel import mesh as meshmod
+            res = meshmod.sharded_chemistry_solve(
+                meshmod.make_mesh(), self.ode, env, tenv, y0b,
+                T0b, touts, rtol_b, atol_b, cfg.dt_first, cfg.evolT,
+                max_steps_per_interval=cfg.max_steps_per_interval)
+        else:
+            # host_loop: one compiled record serves every chunk (envs
+            # are traced args), device programs stay bounded, and the
+            # wall guard can fire mid-solve
+            res = self.ode.solve_batched(
+                env, y0b, T0b, touts, rtol_b, atol_b,
+                first_step=cfg.dt_first, evolT=cfg.evolT, tenvs=tenv,
+                max_steps_per_interval=cfg.max_steps_per_interval,
+                host_loop=True, max_wall_s=cfg.chunk_wall_s or None,
+                progress_cb=lambda i, s: (
+                    self.say(f"      ...interval {i}")
+                    if i and i % 16 == 0 else None))
+        ok = ~np.asarray(res.fail)[:n_real]
+        idx = idx[:n_real]
+        yf = np.asarray(res.ys[:n_real, -1, :])
+        self.X[:, idx[ok]] = yf[ok, :nS].T
+        if cfg.evolT:
+            self.Tgas[idx[ok]] = yf[ok, nS]
+        else:
+            # equilibrium-temperature update by bracketed bisection
+            # (reference solve_bisect_T mode,
+            # heating_cooling.f90:1273-1403)
+            yb_full = jnp.asarray(
+                np.concatenate([yf[:, :nS],
+                                self.Tgas[idx][:, None]], axis=1))
+            env_r = jax.tree.map(lambda a: a[:n_real], env)
+            tenv_r = jax.tree.map(lambda a: a[:n_real], tenv)
+            Teq, brk = jax.vmap(
+                lambda y, e, te, T0: self.thermal.solve_equilibrium_T(
+                    y, e, te, T0, self.ode.tab))(
+                yb_full, env_r, tenv_r,
+                jnp.asarray(np.maximum(self.Tgas[idx], 2.0)))
+            brk_m = np.asarray(brk) & ok
+            self.Tgas[idx[brk_m]] = np.asarray(Teq)[brk_m]
+        return ok, int(np.asarray(res.n_steps)[:n_real].sum())
+
+    # ------------------------------------------------------------------
     def chemistry_step(self, iiter=1):
         """One full-disk chemistry(+T) sweep, batched over cells.
 
@@ -525,91 +634,44 @@ class DiskModel:
                     cfg.depletion, star_mass=cfg.star_mass,
                     t_evol=cfg.t_max)
         nS = self.net.n_species
-        n_done = 0
         abun_prev = self.X.copy()
-        for lo in range(0, len(act), cfg.chem_chunk):
-            idx = act[lo:lo + cfg.chem_chunk]
-            t_chunk = time.time()
-            # pad the last chunk to full width: one compiled shape for
-            # the entire sweep, and the batch stays divisible by the
-            # device mesh
-            n_real = len(idx)
-            if n_real < cfg.chem_chunk:
-                idx = np.concatenate(
-                    [idx, np.repeat(idx[-1:], cfg.chem_chunk - n_real)])
-            env, tenv = self.assemble_envs(idx)
-            y0b = jnp.asarray(self.X[:, idx].T)
-            T0b = jnp.asarray(self.Tgas[idx])
-            level = 1
-            for level in range(1, cfg.nlocal_iter + 1):
-                rtol, atol = odesys.tolerance_ladder(
-                    self.net, level, cfg.rtol_chem, cfg.atol_chem,
-                    float(self.d2h.mean()))
-                rtol_b = jnp.tile(rtol, (len(idx), 1))
-                atol_b = jnp.tile(atol, (len(idx), 1))
-                if jax.device_count() > 1 and len(idx) % \
-                        jax.device_count() == 0:
-                    # shard the cell batch across the device mesh (pure
-                    # data parallelism; SURVEY.md §2 parallelism item 2)
-                    from ..parallel import mesh as meshmod
-                    res = meshmod.sharded_chemistry_solve(
-                        meshmod.make_mesh(), self.ode, env, tenv, y0b,
-                        T0b, touts, rtol_b, atol_b, cfg.dt_first,
-                        cfg.evolT,
-                        max_steps_per_interval=cfg.max_steps_per_interval)
-                else:
-                    # host_loop: one compiled record serves every chunk
-                    # (envs are traced args), device programs stay
-                    # bounded, and the wall guard can fire mid-solve
-                    res = self.ode.solve_batched(
-                        env, y0b, T0b, touts, rtol_b, atol_b,
-                        first_step=cfg.dt_first, evolT=cfg.evolT,
-                        tenvs=tenv,
-                        max_steps_per_interval=cfg.max_steps_per_interval,
-                        host_loop=True,
-                        max_wall_s=cfg.chunk_wall_s or None,
-                        progress_cb=lambda i, s: (
-                            self.say(f"      ...interval {i}")
-                            if i and i % 16 == 0 else None))
-                ok = ~np.asarray(res.fail)[:n_real]
-                if ok.all() or level == cfg.nlocal_iter:
-                    break
-                self.say(f"    chunk {lo // cfg.chem_chunk}: "
-                         f"{int((~ok).sum())} cells failed at level "
-                         f"{level}; relaxing tolerances")
-            self.say(f"    chunk {lo // cfg.chem_chunk}: {n_real} cells, "
-                     f"{int(np.asarray(res.n_steps)[:n_real].sum())} steps, "
-                     f"{int((~ok).sum())} failed, "
-                     f"{time.time() - t_chunk:.1f}s (level {level})")
-            # drop padded lanes before scattering results back
-            idx = idx[:n_real]
-            yf = np.asarray(res.ys[:n_real, -1, :])
-            okm = ok
-            self.X[:, idx[okm]] = yf[okm, :nS].T
-            if cfg.evolT:
-                self.Tgas[idx[okm]] = yf[okm, nS]
-            else:
-                # equilibrium-temperature update by bracketed bisection
-                # (reference solve_bisect_T mode,
-                # heating_cooling.f90:1273-1403)
-                yb_full = jnp.asarray(
-                    np.concatenate([yf[:, :nS],
-                                    self.Tgas[idx][:, None]], axis=1))
-                env_r = jax.tree.map(lambda a: a[:n_real], env)
-                tenv_r = jax.tree.map(lambda a: a[:n_real], tenv)
-                Teq, brk = jax.vmap(
-                    lambda y, e, te, T0: self.thermal.solve_equilibrium_T(
-                        y, e, te, T0, self.ode.tab))(
-                    yb_full, env_r, tenv_r, jnp.asarray(
-                        np.maximum(self.Tgas[idx], 2.0)))
-                Teq = np.asarray(Teq)
-                brk_m = np.asarray(brk) & okm
-                self.Tgas[idx[brk_m]] = Teq[brk_m]
-            self.quality[idx[~okm]] += 512
-            n_done += n_real
-            self.say(f"  chemistry {n_done}/{len(act)} cells "
-                     f"(steps median "
-                     f"{int(np.median(np.asarray(res.n_steps)[:n_real]))})")
+        self.prepare_sweep_fields()
+        # level-1 sweep over all active cells; failed lanes are COMPACTED
+        # into retry batches at relaxed tolerances (the reference relaxes
+        # only the failing cell, chemistry.f90:272-387 — round 1 re-solved
+        # whole chunks, discarding converged lanes' work)
+        pending = act
+        n_done = 0
+        for level in range(1, cfg.nlocal_iter + 1):
+            if len(pending) == 0:
+                break
+            if level > 1:
+                self.say(f"  retry level {level}: "
+                         f"{len(pending)} cells at relaxed tolerances")
+            failed = []
+            for lo in range(0, len(pending), cfg.chem_chunk):
+                idx = pending[lo:lo + cfg.chem_chunk]
+                t_chunk = time.time()
+                # pad to full width: one compiled shape for the entire
+                # sweep, and the batch stays divisible by the device mesh
+                n_real = len(idx)
+                if n_real < cfg.chem_chunk:
+                    idx = np.concatenate(
+                        [idx, np.repeat(idx[-1:], cfg.chem_chunk - n_real)])
+                ok, steps = self._solve_chunk(idx, n_real, level, touts)
+                n_done += int(ok.sum())
+                failed.append(idx[:n_real][~ok])
+                self.say(f"    chunk {lo // cfg.chem_chunk} "
+                         f"(level {level}): {n_real} cells, "
+                         f"{steps} steps, {int((~ok).sum())} failed, "
+                         f"{time.time() - t_chunk:.1f}s; "
+                         f"done {n_done}/{len(act)}")
+            pending = np.concatenate(failed) if failed else \
+                np.array([], dtype=np.int64)
+        self.quality[pending] += 512
+        if len(pending):
+            self.say(f"  {len(pending)} cells failed all "
+                     f"{cfg.nlocal_iter} tolerance levels (quality +512)")
         # convergence bookkeeping on the 10 key species (reference
         # check_convergency_cell, disk.f90:1901-1915)
         ki = self.net.key_species_idx

@@ -506,13 +506,34 @@ class BDFBatchState(NamedTuple):
 #              HBM round-trips of the jnp version.  TPU only.  In
 #              practice the grid-serialized kernels lose to 'inv'.
 #   'xla'    — XLA LuDecomposition (row-pivoted), kept for debugging.
-BATCH_LU_BACKEND = "auto"    # auto: 'inv' on tpu, 'block' elsewhere
+import os as _os_env
+BATCH_LU_BACKEND = _os_env.environ.get("RAC2D_LU_BACKEND", "auto") \
+    # auto: 'inv' on tpu, 'block' elsewhere
 
 
 def _backend() -> str:
     if BATCH_LU_BACKEND != "auto":
         return BATCH_LU_BACKEND
     return "inv" if jax.default_backend() == "tpu" else "block"
+
+
+# Iterative-refinement residual precision in _bsolve.
+#   'f64'  — residual b - (I - cJ)x in f64.  On TPU, f64 matmul is
+#            software-emulated and costs ~6x the entire rest of a Newton
+#            iteration (measured: 21 ms of a 24 ms solve at B=128).
+#   'f32'  — residual against the f32-cast Jacobian.  Recovers the
+#            no-pivot LU's O(1e-4) factorization error down to f32
+#            roundoff, which is far below the Newton convergence
+#            tolerance (>= sqrt(rtol) ~ 1e-2); the BDF error test then
+#            bounds the actual step error in f64.
+#   'auto' — 'f32' on TPU, 'f64' elsewhere.
+REFINE_MODE = _os_env.environ.get("RAC2D_REFINE_MODE", "auto")
+
+
+def _refine_mode() -> str:
+    if REFINE_MODE != "auto":
+        return REFINE_MODE
+    return "f32" if jax.default_backend() == "tpu" else "f64"
 
 
 def _use_block_lu() -> bool:
@@ -585,6 +606,28 @@ def _bsolve(J, c_lu, fac, b, n_refine=2):
     def f32_solve(r):
         rsb = (r * rs).astype(jnp.float32)
         return raw_solve(rsb).astype(jnp.float64) * cs
+
+    if _refine_mode() == "f32" and n_refine > 0:
+        # refinement entirely in f32: residual against the f32-cast
+        # Jacobian, solved through the same factorization.  No f64
+        # (emulated) matmul anywhere in the Newton solve.
+        J32 = J.astype(jnp.float32)
+        c32 = c_lu.astype(jnp.float32)
+        b32 = b.astype(jnp.float32)
+
+        def matvec32(x):
+            mv = jnp.einsum("bij,bj->bi", J32, x,
+                            precision=jax.lax.Precision.HIGHEST)
+            return x - c32[:, None] * mv
+
+        def f32_solve32(r):
+            rsb = r * rs.astype(jnp.float32)
+            return raw_solve(rsb) * cs.astype(jnp.float32)
+
+        x = f32_solve32(b32)
+        for _ in range(n_refine):
+            x = x + f32_solve32(b32 - matvec32(x))
+        return x.astype(jnp.float64)
 
     def matvec(x):
         return x - c_lu[:, None] * jnp.einsum("bij,bj->bi", J, x)
@@ -935,7 +978,18 @@ def bdf_solve_batch_host(f_b: Callable, jac_b: Callable, y0, t0, touts,
         _make_batch_record(f_b, jac_b, max_steps_per_interval, sanity_b,
                            n_refine))
 
-    t_start = None
+    # the first interval is budget-exempt ONLY when the record function
+    # is freshly jitted (one-off trace+compile); a cached pre-compiled
+    # record (odesys passes record_fn) gets no exemption after its first
+    # use, so repeated chunks cannot each overshoot by an interval
+    # (advisor round-1 finding)
+    warm = bool(getattr(record, "_rac2d_warm", False))
+    try:
+        record._rac2d_warm = True
+    except AttributeError:
+        pass
+    t_start = _time.time() if warm else None
+    t_prev_interval = None
     ts_l, ys_l = [], []
     aborted = False
     for i, tout in enumerate(touts_np):
@@ -944,18 +998,28 @@ def bdf_solve_batch_host(f_b: Callable, jac_b: Callable, y0, t0, touts,
             ts_l.append(t_rec)
             ys_l.append(ys_l[-1])
             continue
+        t_iv0 = _time.time()
         state, (t_rec, y_rec) = record(state, jnp.asarray(tout),
                                        jnp.asarray(t_bound), rtol, atol,
                                        args)
         if max_wall_s is not None:
             # device calls are async: block so the wall guard measures
-            # real compute, and start the budget AFTER the first call
-            # (which carries the one-off trace+compile)
+            # real compute
             jax.block_until_ready(t_rec)
+            now = _time.time()
             if t_start is None:
-                t_start = _time.time()
-            elif _time.time() - t_start > max_wall_s:
-                aborted = True
+                t_start = now
+            else:
+                dt_iv = now - t_iv0
+                if now - t_start > max_wall_s:
+                    aborted = True
+                # single-interval blow-up guard (reference
+                # chemistry.f90:482-487: abort when one step interval
+                # exceeds max(10x previous, 0.5x budget))
+                elif t_prev_interval is not None and dt_iv > max(
+                        10.0 * t_prev_interval, 0.5 * max_wall_s):
+                    aborted = True
+                t_prev_interval = dt_iv
         ts_l.append(t_rec)
         ys_l.append(y_rec)
         if progress_cb is not None:

@@ -50,32 +50,59 @@ class ChemicalODE:
     def _batch_fns(self, evolT: bool, with_tenv: bool):
         """Pure (yb, args) closures for the batch solver; cached so the
         same function objects (and hence the same jit cache entries) are
-        reused across chunks."""
+        reused across chunks.
+
+        args = (envs, tenvs, kb): for evolT=False the per-lane rate
+        vector kb [B, nR] is PRECOMPUTED once per solve (T fixed ->
+        k fixed; re-evaluating the 5830 exp/pow chains inside every
+        Newton iteration was pure waste — the reference likewise only
+        recomputes when T changed, disk.f90:4577-4580).  For evolT=True
+        kb is None and rates are evaluated at the live T.
+        """
         key = (evolT, with_tenv)
         if key in self._fns_cache:
             return self._fns_cache[key]
         if with_tenv:
             def f_b(yb, args):
-                envs, tenvs = args
+                envs, tenvs, kb = args
+                if kb is None:
+                    return jax.vmap(
+                        lambda y, e, te: self.make_f(e, evolT, te)(y))(
+                        yb, envs, tenvs)
                 return jax.vmap(
-                    lambda y, e, te: self.make_f(e, evolT, te)(y))(
-                    yb, envs, tenvs)
+                    lambda y, e, te, k: self.make_f(e, evolT, te, k=k)(y))(
+                    yb, envs, tenvs, kb)
 
             def jac_b(yb, args):
-                envs, tenvs = args
+                envs, tenvs, kb = args
+                if kb is None:
+                    return jax.vmap(
+                        lambda y, e, te: self.make_jac(e, evolT, te)(y))(
+                        yb, envs, tenvs)
                 return jax.vmap(
-                    lambda y, e, te: self.make_jac(e, evolT, te)(y))(
-                    yb, envs, tenvs)
+                    lambda y, e, te, k: self.make_jac(e, evolT, te,
+                                                      k=k)(y))(
+                    yb, envs, tenvs, kb)
         else:
             def f_b(yb, args):
-                envs, _ = args
+                envs, _, kb = args
+                if kb is None:
+                    return jax.vmap(
+                        lambda y, e: self.make_f(e, evolT, None)(y))(
+                        yb, envs)
                 return jax.vmap(
-                    lambda y, e: self.make_f(e, evolT, None)(y))(yb, envs)
+                    lambda y, e, k: self.make_f(e, evolT, None, k=k)(y))(
+                    yb, envs, kb)
 
             def jac_b(yb, args):
-                envs, _ = args
+                envs, _, kb = args
+                if kb is None:
+                    return jax.vmap(
+                        lambda y, e: self.make_jac(e, evolT, None)(y))(
+                        yb, envs)
                 return jax.vmap(
-                    lambda y, e: self.make_jac(e, evolT, None)(y))(yb, envs)
+                    lambda y, e, k: self.make_jac(e, evolT, None,
+                                                  k=k)(y))(yb, envs, kb)
 
         def sanity_b(yb):
             return jax.vmap(self._sanity(evolT))(yb)
@@ -88,12 +115,13 @@ class ChemicalODE:
                              self.h2_form_use_moeq)
 
     # ---- closures -------------------------------------------------------
-    def make_f(self, env: CellEnv, evolT: bool, tenv=None):
+    def make_f(self, env: CellEnv, evolT: bool, tenv=None, k=None):
         nS = self.n_species
+        k_pre = k
 
         def f(y):
             T = y[nS] if evolT else env.Tgas
-            k = self._rates(env, T)
+            k = self._rates(env, T) if k_pre is None else k_pre
             ydot_s = rhs_species(self.inc, k, y[:nS], env.ratioDust2HnucNum,
                                  env.SitesPerGrain)
             if evolT and self.thermal is not None:
@@ -104,7 +132,7 @@ class ChemicalODE:
 
         return f
 
-    def make_jac(self, env: CellEnv, evolT: bool, tenv=None):
+    def make_jac(self, env: CellEnv, evolT: bool, tenv=None, k=None):
         """Dense Jacobian closure.
 
         The species block is the analytic COO assembly.  The temperature
@@ -119,9 +147,11 @@ class ChemicalODE:
         """
         nS = self.n_species
 
+        k_pre = k
+
         def jac(y):
             T = y[nS] if evolT else env.Tgas
-            k = self._rates(env, T)
+            k = self._rates(env, T) if k_pre is None else k_pre
             Js = jac_species(self.inc, k, y[:nS], env.ratioDust2HnucNum,
                              env.SitesPerGrain)
             J = jnp.zeros((self.neq, self.neq)).at[:nS, :nS].set(Js)
@@ -201,7 +231,12 @@ class ChemicalODE:
         (bounded device programs for TPU watchdogs, progress reporting,
         and the reference's wall-clock guard via max_wall_s)."""
         f_b, jac_b, sanity_b = self._batch_fns(evolT, tenvs is not None)
-        args = (envs, tenvs)
+        kb = None
+        if not evolT:
+            # fixed T -> fixed k: evaluate the 5830-reaction rate vector
+            # once per lane instead of inside every Newton iteration
+            kb = jax.jit(jax.vmap(lambda e: self._rates(e, e.Tgas)))(envs)
+        args = (envs, tenvs, kb)
         y0 = jnp.concatenate(
             [jnp.asarray(y0_species), jnp.asarray(Tgas0)[:, None]], axis=1)
         if host_loop:
