@@ -151,7 +151,7 @@ class LineImaging:
         return fpop
 
     # ------------------------------------------------------------------
-    def rt_model(self, itr):
+    def rt_model(self, itr, freqs=None):
         d = self.disk
         g = d.grid
         mol = self.mol
@@ -159,9 +159,17 @@ class LineImaging:
         Tg = np.maximum(d.Tgas, 2.73)
         dv = np.sqrt(c.kBoltzmann_CGS * Tg
                      / (c.mProton_CGS * mol.weight))
-        lam0 = mol.lam_A[itr]
-        kext = np.stack([np.interp(lam0, m.lam, m.kab + m.ksc)
-                         * np.ones(1) for m in d.mixtures])
+        # dust opacity evaluated at EACH channel's wavelength (the
+        # reference interpolates per frequency, ray_tracing.f90:338-364;
+        # a lam0-constant broadcast was round 1's shortcut — wrong for
+        # wide velocity windows)
+        if freqs is None:
+            lam_ch = np.full(self.cfg.nf, mol.lam_A[itr])
+        else:
+            lam_ch = c.SpeedOfLight_CGS / (np.asarray(freqs)
+                                           * c.Angstrom2cm)
+        kext = np.stack([np.interp(lam_ch, m.lam, m.kab + m.ksc)
+                         for m in d.mixtures])
         cells = raytrace.RtCells(
             rmin=jnp.asarray(g.rmin), rmax=jnp.asarray(g.rmax),
             zmin=jnp.asarray(g.zmin), zmax=jnp.asarray(g.zmax),
@@ -173,9 +181,7 @@ class LineImaging:
             f_low=jnp.asarray(self.fpop[il]),
             dv=jnp.asarray(dv))
         return raytrace.RtModel(
-            gi=d.gi, cells=cells,
-            kext_dust=jnp.asarray(np.broadcast_to(
-                kext, (len(d.mixtures), self.cfg.nf))),
+            gi=d.gi, cells=cells, kext_dust=jnp.asarray(kext),
             star_mass=d.cfg.star_mass, f0=float(mol.freq[itr]),
             Aul=float(mol.Aul[itr]), Bul=float(mol.Bul[itr]),
             Blu=float(mol.Blu[itr]))
@@ -185,10 +191,10 @@ class LineImaging:
         d = self.disk
         if self.fpop is None:
             self.excitation()
-        model = self.rt_model(itr)
         f0 = float(self.mol.freq[itr])
         dfreq = f0 * cfg.vel_half_width / c.SpeedOfLight_CGS * 2 / cfg.nf
         freqs = f0 + (np.arange(cfg.nf) - cfg.nf / 2) * dfreq
+        model = self.rt_model(itr, freqs=freqs)
         half = d.grid.rmax.max() * 1.05
         xs = np.linspace(-half, half, cfg.nx)
         ys = np.linspace(-half, half, cfg.ny)

@@ -24,7 +24,15 @@ import numpy as np
 from .. import constants as c
 from . import geometry
 
-NSUB = 16   # Doppler substeps per cell crossing (reference: adaptive)
+# Doppler sub-segments per cell crossing.  The reference adaptively
+# splits the path whenever the local line frequency crosses the channel
+# (ray_tracing.f90:569-621) and evaluates the profile POINTWISE per
+# sub-segment; here each sub-segment instead uses the erf-integrated mean
+# Gaussian profile, which is EXACT for a linearly-varying Doppler shift —
+# so a few segments (capturing curvature of v(l)) replace the reference's
+# many, and fast inner-disk shear cannot skip over the line core no
+# matter how large the per-cell shift is.
+NSUB = 32
 
 
 class RtCells(NamedTuple):
@@ -135,28 +143,45 @@ def integrate_ray(model: RtModel, x0, y0, z0, vx, vy, vz, freqs, Inu0,
                 / (c.sqrt_2pi * width_nu)
             line_k = t1 * (ylow * model.Blu - yup * model.Bul)
             line_j = t1 * yup * model.Aul
-            # Doppler substeps across the cell
+            # sub-segment boundaries along the crossing
             dsub = length / NSUB
-            lmid = (jnp.arange(NSUB) + 0.5) * dsub
+            ledges = jnp.arange(NSUB + 1) * dsub
 
             # vectorized over channels via vmap with per-channel continuum
             def chan2(nu_obs, I0, jcc, kcc):
-                def sub(carry, lm):
-                    I, tau = carry
-                    xs = x + vx * lm
-                    ys = y + vy * lm
-                    zs = z + vz * lm
+                def xarg_at(lm):
                     nu_loc = _doppler_nu(model.star_mass, nu_obs,
-                                         xs, ys, zs, vx, vy)
-                    xarg = (nu_loc - model.f0) / width_nu
-                    prof = jnp.where(jnp.abs(xarg) <= 10.0,
-                                     jnp.exp(-0.5 * xarg * xarg), 0.0)
+                                         x + vx * lm, y + vy * lm,
+                                         z + vz * lm, vx, vy)
+                    return (nu_loc - model.f0) / width_nu
+
+                xedges = jax.vmap(xarg_at)(ledges)
+
+                def sub(carry, ab):
+                    I, tau = carry
+                    x0a, x1a = ab
+                    dx = x1a - x0a
+                    # mean of exp(-x^2/2) over [x0, x1]: erf-integrated
+                    # (exact for linear nu(l)); midpoint value when the
+                    # shift across the segment is negligible
+                    s2 = jnp.sqrt(0.5)
+                    erf_term = (jax.scipy.special.erf(x1a * s2)
+                                - jax.scipy.special.erf(x0a * s2))
+                    mean_erf = jnp.sqrt(jnp.pi / 2.0) * erf_term \
+                        / jnp.where(jnp.abs(dx) > 1e-6, dx, 1.0)
+                    xm = 0.5 * (x0a + x1a)
+                    mean_mid = jnp.exp(-0.5 * jnp.clip(xm * xm, 0.0,
+                                                       400.0))
+                    prof = jnp.where(jnp.abs(dx) > 1e-6, mean_erf,
+                                     mean_mid)
+                    prof = jnp.clip(prof, 0.0, 1.0)
                     jnu = prof * line_j + jcc
                     knu = prof * line_k + kcc
                     I2, dtau = _step_I(I, jnu, knu, dl_cm / NSUB)
                     return (I2, tau + dtau), None
 
-                (I2, tau2), _ = jax.lax.scan(sub, (I0, 0.0), lmid)
+                (I2, tau2), _ = jax.lax.scan(
+                    sub, (I0, 0.0), (xedges[:-1], xedges[1:]))
                 return I2, tau2
 
             Inu2, dtau = jax.vmap(chan2)(freqs, Inu, jc, kc)
