@@ -130,7 +130,8 @@ def load_config(path: str) -> driver.DiskConfig:
               "UV_G0_background", "zeta_cosmicray_H2", "base_alpha",
               "minimum_Tdust", "dust_depletion",
               "do_vertical_with_Tdust", "n_vert_iter_tdust",
-              "do_vertical_every", "disk_gas_mass_preset",
+              "do_vertical_every", "disk_gas_mass_preset", "vertical_moving",
+              "calc_zetaXray_from_Ncol",
               "do_refine", "do_merge", "refine_watch_species",
               "refine_threshold", "merge_tol"):
         if k in it:

@@ -21,16 +21,21 @@ PARTITION_T = np.array([300.0, 225.0, 150.0, 75.0, 37.5, 18.75, 9.375,
                         5.0, 2.725])
 
 
+def _int0(s):
+    s = s.strip()
+    return int(s) if s else 0
+
+
 def _parse_row(line):
     return dict(
         freq=float(line[0:13]) * 1e6,          # MHz -> Hz
         intens=float(line[21:29]),             # log10 I(300 K)
         Elow=max(float(line[31:41]), 0.0),     # cm^-1
         gup=int(line[41:44]),
-        tag=int(line[44:51]),
-        cquan=int(line[51:55]),
-        qup=tuple(int(line[55 + 2 * k:57 + 2 * k] or 0) for k in range(6)),
-        qlo=tuple(int(line[67 + 2 * k:69 + 2 * k] or 0) for k in range(6)))
+        tag=_int0(line[44:51]),
+        cquan=_int0(line[51:55]),
+        qup=tuple(_int0(line[55 + 2 * k:57 + 2 * k]) for k in range(6)),
+        qlo=tuple(_int0(line[67 + 2 * k:69 + 2 * k]) for k in range(6)))
 
 
 def _g_of(cquan, q):

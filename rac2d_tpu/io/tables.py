@@ -204,6 +204,16 @@ class VisserCOShielding:
 # --------------------------------------------------------------------------
 
 class IonCoolingLUT:
+    # host-side cubic-spline refinement factor of the raw (ne, T) grid.
+    # The reference evaluates a 2D cubic spline directly
+    # (src/heating_cooling.f90:832-839, src/interpolation.f90:25); pure
+    # bilinear on the raw 50x60 grid deviates up to 21% (Fe+) from that
+    # spline, so the table is presampled through the same cubic spline
+    # onto a denser grid at load time — bilinear error scales h^2, so
+    # 6x refinement brings the on-device gather within <1% of the
+    # reference's spline while staying a branch-free TPU lookup.
+    REFINE = 6
+
     def __init__(self, path):
         raw = np.fromfile(path, dtype="<f8")
         ndim = int(raw[0])
@@ -213,6 +223,12 @@ class IonCoolingLUT:
         x = raw[o:o + nx]
         y = raw[o + nx:o + nx + ny]
         val = raw[o + nx + ny:o + nx + ny + nx * ny].reshape((ny, nx)).T
+        if self.REFINE > 1:
+            from scipy.interpolate import RectBivariateSpline
+            sp = RectBivariateSpline(x, y, val, kx=3, ky=3)
+            x = np.linspace(x[0], x[-1], nx * self.REFINE)
+            y = np.linspace(y[0], y[-1], ny * self.REFINE)
+            val = sp(x, y)
         self.log_ne = jnp.asarray(x)
         self.log_T = jnp.asarray(y)
         self.val = jnp.asarray(val)   # [nx, ny] log10 Lambda per ion
@@ -220,9 +236,8 @@ class IonCoolingLUT:
     def cooling_per_ion(self, ne, T):
         """10**LUT(log10 ne, log10 T), clamped at the table edges.
 
-        The reference evaluates a 2D cubic spline without extrapolation
-        (src/heating_cooling.f90:832-839); we use clamped bilinear which
-        agrees to the table's intrinsic accuracy.
+        Bilinear gather on the spline-refined grid (see REFINE above) —
+        equivalent to the reference's cubic spline to <1%.
         """
         x = jnp.clip(jnp.log10(jnp.maximum(ne, 1e-300)),
                      self.log_ne[0], self.log_ne[-1])

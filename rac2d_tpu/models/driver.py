@@ -101,6 +101,10 @@ class DiskConfig:
     do_vertical_with_Tdust: bool = False
     n_vert_iter_tdust: int = 4
     do_vertical_every: int = 0        # 0 = off
+    # moving-grid hydrostatic variant (reference
+    # vertical_pressure_gravity_balance + shift_and_scale_above,
+    # vertical_structure.f90:354-518) instead of the fixed-grid _alt path
+    vertical_moving: bool = False
     disk_gas_mass_preset: float | None = None
     # AMR refine/merge during iteration (reference do_refine/merge_cells,
     # disk.f90:3646-4033)
@@ -112,6 +116,10 @@ class DiskConfig:
     # ad-hoc O/C(/N) depletion of the initial abundances (reference
     # deplete_oxygen_carbon_adhoc, disk.f90:2150-2420); None = off
     depletion: object = None
+    # compute zeta_X from stellar-spectrum Ncol attenuation instead of
+    # the MC local-flux tally (reference calc_zetaXray_from_Ncol mode,
+    # disk.f90:1994-2001) — useful when too few X-ray packets survive
+    calc_zetaXray_from_Ncol: bool = False
     # dust albedo entering the CR-induced-photon rate correction
     # (reference cell_params_ini%omega_albedo, a config constant 0.5 in
     # template_configure.dat:233 — "only for chemistry")
@@ -251,17 +259,37 @@ class DiskModel:
 
     def vertical_adjust(self):
         """Hydrostatic re-balance of the gas column using the current
-        Tdust (reference vertical_structure.f90 `_alt` path; called from
-        the Tdust bootstrap and every do_vertical_every iterations)."""
+        Tdust (reference vertical_structure.f90 `_alt` fixed-grid path,
+        or the moving-grid variant `_balance`/`shift_and_scale_above`
+        when cfg.vertical_moving; called from the Tdust bootstrap and
+        every do_vertical_every iterations)."""
         from ..ops import vertical
         cfg = self.cfg
         m_before = vertical.disk_gas_mass(self.grid, self.grid.n0)
-        n_new, rho_d_new, using_new, maxf, minf = \
-            vertical.pressure_gravity_balance(
-                self.grid, self.grid.n0,
-                np.maximum(self.Tdust, cfg.minimum_Tdust), self.rho_dust,
-                cfg.star_mass, use_Tdust=True, pmass=self.pmass,
-                disk_gas_mass_preset=cfg.disk_gas_mass_preset)
+        if cfg.vertical_moving:
+            zmin_n, zmax_n, n_new, rho_d_new, maxf, minf = \
+                vertical.pressure_gravity_balance_moving(
+                    self.grid, self.grid.n0,
+                    np.maximum(self.Tdust, cfg.minimum_Tdust),
+                    self.rho_dust, cfg.star_mass, use_Tdust=True,
+                    zmax_dom=cfg.grid.zmax)
+            self.grid.zmin = zmin_n
+            self.grid.zmax = zmax_n
+            self.grid.n0 = n_new
+            self.rho_dust = rho_d_new
+            # the grid MOVED: rebuild geometry index + path matrices
+            self.gi = geometry.build_grid_index(self.grid)
+            self.W_star, self.W_ism = columns.build_path_matrices(
+                self.grid, self.gi)
+            using_new = self.grid.using
+        else:
+            n_new, rho_d_new, using_new, maxf, minf = \
+                vertical.pressure_gravity_balance(
+                    self.grid, self.grid.n0,
+                    np.maximum(self.Tdust, cfg.minimum_Tdust),
+                    self.rho_dust,
+                    cfg.star_mass, use_Tdust=True, pmass=self.pmass,
+                    disk_gas_mass_preset=cfg.disk_gas_mass_preset)
         self.grid.n0 = n_new
         self.grid.using = using_new
         self.rho_dust = rho_d_new
@@ -410,7 +438,8 @@ class DiskModel:
             tall = tall._replace(**{
                 f: getattr(tall, f).astype(jnp.float64) * en_scale
                 for f in ("flux", "dir_flux", "en_gain", "en_gain_abso",
-                          "ab_en_water", "collector", "mrw_path")})
+                          "ab_en_water", "collector", "collector_img",
+                          "mrw_path")})
             self.tallies = tall
             if self.mc_cfg.do_fill_blank:
                 sm = fields.fill_blank(
@@ -426,10 +455,21 @@ class DiskModel:
             self.fields = fld
             self.Tdusts = np.asarray(fld.Tdusts)
             self.Tdust = np.asarray(fld.Tdust)
+            # packet-fate bookkeeping (reference counts these,
+            # montecarlo.f90:502-504)
+            st = np.asarray(pk.status)
+            self.mc_counts = {
+                "escaped": int((st == mcrt.ST_ESCAPED).sum()),
+                "destructed": int((st == mcrt.ST_DESTRUCTED).sum()),
+                "premature": int((st == mcrt.ST_PREMATURE).sum()),
+                "active": int((st == mcrt.ST_ACTIVE).sum())}
             self.say(f"  MC pass {ip + 1}/{n_passes}: "
                      f"{len(lam_pk)} packets in {time.time() - t0:.1f}s; "
                      f"Tdust {self.Tdust[self.grid.using].min():.1f}.."
-                     f"{self.Tdust[self.grid.using].max():.1f} K")
+                     f"{self.Tdust[self.grid.using].max():.1f} K; "
+                     f"esc {self.mc_counts['escaped']} "
+                     f"destr {self.mc_counts['destructed']} "
+                     f"prem {self.mc_counts['premature']}")
 
     # ------------------------------------------------------------------
     def sed(self, dist_pc=100.0):
@@ -464,6 +504,7 @@ class DiskModel:
         disk.f90:1823 update_params_above_alt; difference cataloged in
         PARITY.md)."""
         g = self.grid
+        t_sh = time.time()
         dv = np.sqrt(c.kBoltzmann_CGS * np.maximum(self.Tgas, 10.0)
                      / (c.mProton_CGS * 1.4 * 2.0))
         sh = columns.compute_shielding(
@@ -478,6 +519,23 @@ class DiskModel:
             jnp.asarray(self.n_dusts.sum(0))))
         self._Av_ism = 1.086 * Ncol_dust_ism * np.pi \
             * self.grain_a ** 2 * 2.0
+        self._zetaX_ncol = None
+        if self.cfg.calc_zetaXray_from_Ncol:
+            sv = np.interp(np.asarray(self.tab.lam), self.star.lam,
+                           self.star.vals, left=0.0, right=0.0)
+            lam = jnp.asarray(self.tab.lam)
+            xr_lo = c.lam_range_Xray[0] / c.Angstrom2micron
+            xr_hi = c.lam_range_Xray[1] / c.Angstrom2micron
+            is_xray = (lam >= xr_lo) & (lam <= xr_hi)
+            self._zetaX_ncol = np.asarray(
+                columns.xray_ionization_rate_ncol(
+                    lam, jnp.asarray(sv), is_xray,
+                    jnp.full(g.n_cells, self.cfg.dust_depletion),
+                    jnp.asarray(self.d2h), jnp.asarray(self.grain_a),
+                    jnp.asarray(np.asarray(sh.Ncol_toStar)),
+                    jnp.asarray(self.r_cells), jnp.asarray(self.z_cells)))
+
+        self._t_shield = time.time() - t_sh
 
     def assemble_envs(self, idx):
         """CellEnv/ThermalEnv for the cells in index array idx (uses the
@@ -496,7 +554,8 @@ class DiskModel:
             Tdust=take(self.Tdust),
             n_gas=take(g.n0),
             zeta_cosmicray_H2=jnp.full(len(idx), cfg.zeta_cosmicray_H2),
-            zeta_Xray_H2=take(f.zeta_Xray),
+            zeta_Xray_H2=take(self._zetaX_ncol)
+            if self._zetaX_ncol is not None else take(f.zeta_Xray),
             Ncol_toISM=take(np.asarray(sh.Ncol_toISM)),
             Av_toISM=take(Av_ism),
             Av_toStar=take(f.Av_toStar),
@@ -695,9 +754,15 @@ class DiskModel:
         self.run_mc()
         for it in range(1, n_iter + 1):
             self.say(f"=== iteration {it}/{n_iter} ===")
+            stage_t = {}
+            t_st = time.time()
             if it > 1:
                 self.run_mc(seed=it)
+            stage_t["mc"] = time.time() - t_st
+            t_st = time.time()
             frac = self.chemistry_step(iiter=it)
+            stage_t["chemistry"] = time.time() - t_st
+            stage_t["shielding"] = getattr(self, "_t_shield", 0.0)
             if save_dir is not None:
                 from . import output as outmod
                 import pathlib
@@ -707,9 +772,17 @@ class DiskModel:
             if frac >= self.cfg.converged_fraction:
                 self.say("converged.")
                 break
+            t_st = time.time()
             if self.cfg.do_vertical_every > 0 \
                     and it % self.cfg.do_vertical_every == 0 and it < n_iter:
                 self.vertical_adjust()
+            stage_t["vertical"] = time.time() - t_st
+            t_st = time.time()
             if self.cfg.do_refine and it < n_iter:
                 self.amr_step()
+            stage_t["amr"] = time.time() - t_st
+            # per-stage timing summary (role of the reference my_timer
+            # wall-clock lines, sub_trivials.f90:1-88 / main.f90:56,114)
+            self.say("  stage timing: " + "  ".join(
+                f"{k} {v:.1f}s" for k, v in stage_t.items()))
         return self

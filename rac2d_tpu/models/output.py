@@ -52,6 +52,13 @@ def iter_table(model):
 def save_iter_npz(path, model, iiter=0):
     data = iter_table(model)
     data["iiter"] = np.array(iiter)
+    # per-iteration SED collector persistence (reference
+    # save_collected_photons_iter, montecarlo.f90:2084-2097): mu x lam
+    # escaped-energy bins plus the image-plane (mu, r, phi, lam) sub-bins
+    if getattr(model, "tallies", None) is not None:
+        data["collector"] = np.asarray(model.tallies.collector)
+        data["collector_img"] = np.asarray(model.tallies.collector_img)
+        data["collector_lam"] = np.asarray(model.tab.lam)
     np.savez_compressed(path, **data)
 
 

@@ -255,3 +255,30 @@ def xray_ionization_rate(lam_A, flux_cell_lam, is_xray, dust_depletion,
     contrib = flux_cell_lam / en_erg[None, :] * sig \
         * (E[None, :] * 1e3 / 37.0)
     return jnp.sum(jnp.where(is_xray[None, :], contrib, 0.0), axis=1)
+
+
+def xray_ionization_rate_ncol(lam_A, star_vals, is_xray, dust_depletion,
+                              d2h, grain_a, Ncol_toStar, r_AU, z_AU):
+    """zeta_X per H [s^-1] from direct Ncol attenuation of the stellar
+    X-ray spectrum (the calc_zetaXray_from_Ncol mode of reference
+    disk.f90:1969-2010): flux = L_lam dlam exp(-sigma Ncol)/(4 pi d^2)
+    instead of the MC-tallied local flux.  Use when the MC pass carries
+    too few X-ray packets for a converged per-cell tally.
+
+    lam_A/star_vals: the stellar spectrum on the master grid
+    [nlam] (erg/s/A); per-cell arrays dust_depletion, d2h, grain_a,
+    Ncol_toStar, r_AU, z_AU.
+    """
+    from ..io import bethell
+    E = c.hPlanck_CGS * c.SpeedOfLight_CGS / (lam_A * 1e-8) / c.keV2erg
+    sraw = bethell.sigma_dust_raw(E, jnp)[None, :] * dust_depletion[:, None]
+    f = bethell.dust_blanketing(sraw, d2h[:, None], grain_a[:, None], jnp)
+    sig = bethell.sigma_gas(E, jnp)[None, :] + f * sraw
+    dlam = jnp.concatenate([jnp.diff(lam_A), jnp.diff(lam_A)[-1:]])
+    d2 = (r_AU ** 2 + z_AU ** 2) * c.AU2cm ** 2
+    flux = star_vals[None, :] * dlam[None, :] \
+        * jnp.exp(-jnp.clip(sig * Ncol_toStar[:, None], 0.0, 500.0)) \
+        / (4.0 * jnp.pi * d2[:, None])
+    en_erg = E * c.keV2erg
+    contrib = flux / en_erg[None, :] * sig * (E[None, :] * 1e3 / 37.0)
+    return jnp.sum(jnp.where(is_xray[None, :], contrib, 0.0), axis=1)

@@ -84,17 +84,23 @@ class McTallies(NamedTuple):
     ab_en_water: jnp.ndarray    # [n_cells]
     cr_count: jnp.ndarray       # [n_cells]
     collector: jnp.ndarray      # [n_mu, nlam] escaped-energy SED bins
+    # image-plane sub-bins per mu band (reference collector
+    # energy(nmu, nphi, nr, nlam), montecarlo.f90:1869-2097): escaped
+    # packets binned by the position component orthogonal to the ray,
+    # log-r x uniform-phi in the local image frame
+    collector_img: jnp.ndarray  # [n_mu, n_r, n_phi, nlam]
     mrw_path: jnp.ndarray       # [n_cells] en-weighted MRW path (AU);
                                 # folded into flux/en_gain at pass end
 
     @staticmethod
-    def zeros(n_cells, nlam, n_dust, n_mu):
+    def zeros(n_cells, nlam, n_dust, n_mu, n_r=8, n_phi=8):
         def z(shape):
             return jnp.zeros(shape, F)
         return McTallies(z((n_cells, nlam)), z((n_cells, nlam)),
                          z((n_cells, 3)),
                          z((n_dust, n_cells)), z((n_dust, n_cells)),
                          z(n_cells), z(n_cells), z((n_mu, nlam)),
+                         z((n_mu, n_r, n_phi, nlam)),
                          z(n_cells))
 
 
@@ -462,6 +468,39 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
         collector = tl.collector.reshape(-1).at[imu * nlam + ilam_glob].add(
             jnp.where(escaped, pk.en, 0.0)).reshape(tl.collector.shape)
 
+        # image-plane (r, phi) sub-bins (reference collect_photon_do,
+        # montecarlo.f90:1960-2043): displacement orthogonal to the ray,
+        # resolved in a local frame with the ray as z axis
+        n_r, n_phi = tl.collector_img.shape[1], tl.collector_img.shape[2]
+        dotp = nx * pk.vx + ny * pk.vy + nz * pk.vz
+        rox = nx - dotp * pk.vx
+        roy = ny - dotp * pk.vy
+        roz = nz - dotp * pk.vz
+        # ux = normalize(z_hat x v), uy = v x ux; x-axis fallback when
+        # the ray is (anti)parallel to z
+        degen = jnp.abs(pk.vz) >= 0.99
+        uxn = jnp.sqrt(jnp.maximum(pk.vx ** 2 + pk.vy ** 2, 1e-30))
+        ux_x = jnp.where(degen, 1.0, -pk.vy / uxn)
+        ux_y = jnp.where(degen, 0.0, pk.vx / uxn)
+        ux_z = jnp.zeros_like(ux_x)
+        uy_x = jnp.where(degen, 0.0, pk.vy * ux_z - pk.vz * ux_y)
+        uy_y = jnp.where(degen, 1.0, pk.vz * ux_x - pk.vx * ux_z)
+        uy_z = jnp.where(degen, 0.0, pk.vx * ux_y - pk.vy * ux_x)
+        r_o_x = rox * ux_x + roy * ux_y + roz * ux_z
+        r_o_y = rox * uy_x + roy * uy_y + roz * uy_z
+        r_img = jnp.sqrt(r_o_x ** 2 + r_o_y ** 2)
+        phi_img = jnp.arctan2(r_o_y, r_o_x)
+        r0 = gi.rmin_dom * 0.3
+        ir = jnp.clip((jnp.log(jnp.maximum(r_img, 1e-30) / r0)
+                       / jnp.log(gi.rmax_dom / r0)
+                       * (n_r - 1)).astype(jnp.int32) + 1, 0, n_r - 1)
+        ir = jnp.where(r_img < r0, 0, ir)
+        iphi = jnp.clip(((phi_img + jnp.pi) / (2 * jnp.pi)
+                         * n_phi).astype(jnp.int32), 0, n_phi - 1)
+        flat_img = ((imu * n_r + ir) * n_phi + iphi) * nlam + ilam_glob
+        collector_img = tl.collector_img.reshape(-1).at[flat_img].add(
+            jnp.where(escaped, pk.en, 0.0)).reshape(tl.collector_img.shape)
+
         # new tau on encounter
         u_tau = jax.random.uniform(k_tau, (B,), F, 1e-12, 1.0)
         new_tau = jnp.where(enc, -jnp.log(u_tau), pk.tau - tau_this)
@@ -522,6 +561,7 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
                         en_gain=en_gain,
                         en_gain_abso=en_gain_abso, ab_en_water=ab_en_water,
                         cr_count=cr_count, collector=collector,
+                        collector_img=collector_img,
                         mrw_path=mrw_path)
         return (step + 1, key, pk2, tl2)
 

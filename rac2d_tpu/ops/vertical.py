@@ -28,6 +28,93 @@ def disk_gas_mass(grid, n_gas, mean_mol_weight=1.4):
     return m * 2.0 / c.Msun_CGS
 
 
+def pressure_gravity_balance_moving(grid, n_gas, T, rho_dust, star_mass,
+                                    use_Tdust=True, Tdust_lowerlimit=5.0,
+                                    mean_mol_weight=1.4, max_dz=None,
+                                    zmax_dom=None):
+    """Moving-grid hydrostatic variant (reference
+    ``vertical_pressure_gravity_balance`` + ``shift_and_scale_above``,
+    src/vertical_structure.f90:354-518): every cell's thermal pressure is
+    driven toward the weight of the column above it by rescaling BOTH its
+    density (x f) and its vertical extent (/ f), then the cells of each
+    column are restacked bottom-to-top and the top cell is stretched to
+    the domain top with its density rescaled to conserve mass.
+
+    Returns (zmin_new, zmax_new, n_gas_new, rho_dust_new, maxfac,
+    minfac).  The caller must rebuild geometry indices and path matrices
+    afterwards (the grid moved).
+    """
+    g = grid
+    n_gas = n_gas.copy()
+    rho_dust = rho_dust.copy()
+    zmin_new = g.zmin.copy()
+    zmax_new = g.zmax.copy()
+    GM = c.GravitationConst_CGS * star_mass * c.Msun_CGS
+    mmw_mp = mean_mol_weight * c.mProton_CGS
+    ztop = zmax_dom if zmax_dom is not None else float(g.zmax.max())
+    maxfac, minfac = 0.0, 1e100
+
+    for icol in range(g.n_columns):
+        members = g.col_cells[g.col_ptr[icol]:g.col_ptr[icol + 1]]
+        order = np.argsort(g.zmin[members])
+        col = members[order]
+        dz = (g.zmax[col] - g.zmin[col]).astype(float)
+        rmid = 0.5 * (g.rmin[col] + g.rmax[col])
+        zmid = 0.5 * (g.zmin[col] + g.zmax[col])
+        rho = n_gas[col] * mmw_mp
+        gz = GM * (zmid * c.AU2cm) / np.maximum(
+            ((rmid ** 2 + zmid ** 2) ** 1.5) * c.AU2cm ** 3, 1e-30)
+        w = rho * gz * dz * c.AU2cm
+        # weight of the column above each cell (incl. own upper half)
+        W = np.cumsum(w[::-1])[::-1] - 0.5 * w
+        pold = n_gas[col] * np.maximum(T[col], 1e-30) * c.kBoltzmann_CGS
+        pnew = np.maximum(W, 1e-300)
+        # damped update (reference: pnew = (pnew^3 * pold)^(1/4))
+        pnew = np.sqrt(np.sqrt(pnew ** 3 * pold))
+        pnew = np.clip(pnew, pold * 1e-2, pold * 1e2)
+        if max_dz is not None:
+            mdz = max_dz
+        else:
+            mdz = 0.25 * (g.rmin[col] + g.rmax[col]
+                          + g.zmin[col] + g.zmax[col]) + ztop
+        frescale = np.maximum(pnew / np.maximum(pold, 1e-300), dz / mdz)
+        skip = ~g.using[col]
+        if use_Tdust:
+            skip |= T[col] <= Tdust_lowerlimit
+        frescale = np.where(skip, 1.0, frescale)
+        maxfac = max(maxfac, float(frescale[~skip].max())
+                     if (~skip).any() else maxfac)
+        minfac = min(minfac, float(frescale[~skip].min())
+                     if (~skip).any() else minfac)
+        n_gas[col] *= frescale
+        rho_dust[:, col] *= frescale[None, :]
+        dz = dz / frescale
+        # restack bottom -> top from the original column base
+        zb = g.zmin[col[0]]
+        for k, ci in enumerate(col):
+            zmin_new[ci] = zb
+            zmax_new[ci] = zb + dz[k]
+            zb = zmax_new[ci]
+
+    # the domain top follows the tallest column (reference root%ymax
+    # update in shift_and_scale_above), then every column's top cell is
+    # stretched to it with its mass conserved
+    tops = np.asarray([
+        mem[np.argmax(zmax_new[mem])] for mem in
+        (g.col_cells[g.col_ptr[i]:g.col_ptr[i + 1]]
+         for i in range(g.n_columns)) if len(mem)])
+    if tops.size:
+        ztop = max(ztop, float(zmax_new[tops].max()))
+    for top in tops:
+        if zmax_new[top] < ztop:
+            f = (zmax_new[top] - zmin_new[top]) \
+                / max(ztop - zmin_new[top], 1e-30)
+            n_gas[top] *= f
+            rho_dust[:, top] *= f
+            zmax_new[top] = ztop
+    return zmin_new, zmax_new, n_gas, rho_dust, maxfac, minfac
+
+
 def pressure_gravity_balance(grid, n_gas, T, rho_dust, star_mass,
                              use_Tdust=True, Tdust_lowerlimit=5.0,
                              ngas_lowerlimit=1e-4, ndust_lowerlimit=1e-20,

@@ -1,0 +1,113 @@
+"""End-to-end driver smoke test (VERDICT round-1 item 5).
+
+Runs the FULL fixed-point loop on a tiny disk — MC passes, field
+reduction, sharded chemistry sweep (8 virtual devices via conftest),
+vertical re-balance, AMR refine — then the checkpoint save/load
+roundtrip and a tiny line cube.  A regression anywhere in
+models/driver.py now fails CI.
+
+Reference flow replicated: src/disk.f90:224-394 (disk_iteration) +
+src/main.f90:66-105 (two-phase model -> imaging).
+"""
+
+import numpy as np
+import pytest
+
+import rac2d_tpu.constants as c
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    from rac2d_tpu import defaults
+    from rac2d_tpu.models import density, driver
+    from rac2d_tpu.models.grid import GridConfig
+    from rac2d_tpu.ops import optics, thermal
+
+    cfg = driver.DiskConfig(
+        star_mass=0.6, star_radius=1.0, star_T=4000.0,
+        lumi_Xray=1e29,
+        andrews=density.AndrewsDisk(Md=0.01, rin=1.0, rout=40.0,
+                                    rc=40.0, hc=10.0),
+        grid=GridConfig(rmin=1.0, rmax=40.0, zmax=40.0, ncol=5,
+                        max_num_of_cells=64),
+        dust=[driver.DustComponent(
+            opti_files=[str(defaults.DATA / "dust/silicate_draine.opti")],
+            weights=[1.0], d2g_mass=0.01)],
+        network_file=defaults.NETWORK,
+        enthalpy_file=defaults.ENTHALPIES,
+        init_abundances_file=defaults.INIT_ABUNDANCES,
+        h2o_cross_file=defaults.H2O_PHOTOXS,
+        n_iter=2, evolT=True, t_max=1e2, ratio_tstep=1.6,
+        chem_chunk=16, max_steps_per_interval=200, nlocal_iter=2,
+        mc=optics.McConfig(nph=2000, nlen_lut=128, n_quantile=64),
+        n_mc_passes=2, nph_per_pass=2000,
+        do_vertical_every=1, do_refine=True, do_merge=False,
+        converged_fraction=2.0,     # never early-stop: run both iters
+    )
+    m = driver.DiskModel(cfg)
+    m.prepare()
+    m.run(n_iter=2)
+    return m
+
+
+@pytest.mark.slow
+def test_run_completes_with_sane_state(tiny_model):
+    m = tiny_model
+    act = m.grid.using
+    assert act.sum() > 10
+    # Tdust from MC: finite, ordered with radius roughly
+    assert np.isfinite(m.Tdust[act]).all()
+    assert m.Tdust[act].max() > 20.0
+    # chemistry ran: H2 formed somewhere, abundances within [−eps, 1]
+    iH2 = m.net.idx["H2"]
+    assert m.X[iH2][act].max() > 0.1
+    assert (m.X[:, act] < 1.5).all()
+    # temperatures evolved to something physical
+    assert (m.Tgas[act] > 1.0).all() and (m.Tgas[act] < 5e3).all()
+    # most cells solved cleanly
+    frac_bad = (m.quality[act] > 0).mean()
+    assert frac_bad < 0.5, frac_bad
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tiny_model, tmp_path):
+    from rac2d_tpu import checkpoint
+    from rac2d_tpu.models import driver
+    m = tiny_model
+    p = tmp_path / "ck.npz"
+    checkpoint.save_state(p, m, iiter=2)
+    m2 = driver.DiskModel(m.cfg)
+    m2.prepare()
+    it = checkpoint.load_state(p, m2)
+    assert it == 2
+    np.testing.assert_allclose(m2.X, m.X, rtol=0, atol=0)
+    np.testing.assert_allclose(m2.Tgas, m.Tgas)
+    np.testing.assert_allclose(m2.Tdust, m.Tdust)
+    # grid-mismatch refusal (the reference's consistency check,
+    # data_dump.f90:763)
+    m2.grid.rmax = m2.grid.rmax * 1.001
+    with pytest.raises(ValueError):
+        checkpoint.load_state(p, m2)
+
+
+@pytest.mark.slow
+def test_sed_and_line_cube(tiny_model, tmp_path):
+    from rac2d_tpu import defaults
+    from rac2d_tpu.models import imaging
+    m = tiny_model
+    lam, flam = m.sed()
+    assert np.isfinite(flam).all() and flam.sum() > 0
+    lcfg = imaging.LineConfig(
+        mol_file=str(defaults.DATA / "co_lamda.dat"), mole_name="CO",
+        useLTE=True, freq_min=1e11, freq_max=4e11,
+        nx=5, ny=5, nf=16, view_thetas=(45.0,))
+    li = imaging.LineImaging(m, lcfg)
+    assert len(li.transitions) >= 1
+    fits_path = tmp_path / "cube.fits"
+    I, tau, Nu, Nl, spec = li.make_cube(int(li.transitions[0]), 45.0,
+                                        out_fits=str(fits_path))
+    assert I.shape == (5, 5, 16)
+    assert np.isfinite(I).all() and I.max() > 0
+    from rac2d_tpu.io import fits as fitsio
+    back = fitsio.read_fits_image(str(fits_path))
+    assert back[0].shape[-1] == 16 or back[0].size > 0

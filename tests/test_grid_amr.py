@@ -95,3 +95,57 @@ def test_vertical_balance(small_grid):
     # total mass preserved by the preset rescale
     assert m1 == pytest.approx(m0, rel=0.05)
     assert np.isfinite(n2).all()
+
+
+def test_vertical_moving_grid(small_grid):
+    """Moving-grid variant (reference vertical_structure.f90:354-518):
+    iterating drives each cell's thermal pressure toward the weight of
+    the column above it, columns stay contiguous, and per-column gas
+    mass is conserved up to the top-cell stretch."""
+    import rac2d_tpu.constants as c
+    from rac2d_tpu.ops import vertical
+    g, a = small_grid
+    g = g.__class__(**{**g.__dict__})
+    T = np.full(g.n_cells, 50.0)
+    rho_d = (g.n0 * 1.4 * 1.67e-24 * 0.01)[None, :]
+    ztop = float(g.zmax.max())
+    col_mass0 = []
+    for icol in range(g.n_columns):
+        mem = g.col_cells[g.col_ptr[icol]:g.col_ptr[icol + 1]]
+        col_mass0.append(((g.zmax[mem] - g.zmin[mem]) * g.n0[mem]).sum())
+    n0, rho = g.n0.copy(), rho_d.copy()
+    for _ in range(12):
+        zmin_n, zmax_n, n0, rho, mx, mn = \
+            vertical.pressure_gravity_balance_moving(
+                g, n0, T, rho, star_mass=0.6, use_Tdust=False,
+                zmax_dom=ztop)
+        g.zmin, g.zmax = zmin_n, zmax_n
+    # columns contiguous, all sharing the (possibly grown) domain top
+    ztop_new = float(g.zmax.max())
+    for icol in range(g.n_columns):
+        mem = g.col_cells[g.col_ptr[icol]:g.col_ptr[icol + 1]]
+        order = np.argsort(g.zmin[mem])
+        mem = mem[order]
+        np.testing.assert_allclose(g.zmax[mem][:-1], g.zmin[mem][1:],
+                                   rtol=1e-10)
+        assert g.zmax[mem][-1] == pytest.approx(ztop_new)
+        m1 = ((g.zmax[mem] - g.zmin[mem]) * n0[mem]).sum()
+        assert m1 == pytest.approx(col_mass0[icol], rel=1e-6)
+    # near balance: P ~ weight of column above (within the damping)
+    GM = c.GravitationConst_CGS * 0.6 * c.Msun_CGS
+    mmw = 1.4 * c.mProton_CGS
+    icol = g.n_columns // 2
+    mem = g.col_cells[g.col_ptr[icol]:g.col_ptr[icol + 1]]
+    mem = mem[np.argsort(g.zmin[mem])]
+    if len(mem) >= 4 and g.using[mem].all():
+        dz = (g.zmax[mem] - g.zmin[mem])
+        zmid = 0.5 * (g.zmin[mem] + g.zmax[mem])
+        rmid = 0.5 * (g.rmin[mem] + g.rmax[mem])
+        gz = GM * zmid * c.AU2cm / ((rmid**2 + zmid**2)**1.5
+                                    * c.AU2cm**3)
+        w = n0[mem] * mmw * gz * dz * c.AU2cm
+        W = np.cumsum(w[::-1])[::-1] - 0.5 * w
+        P = n0[mem] * 50.0 * c.kBoltzmann_CGS
+        mid = slice(1, len(mem) - 1)
+        ratio = P[mid] / np.maximum(W[mid], 1e-300)
+        assert (ratio > 0.2).all() and (ratio < 5.0).all(), ratio

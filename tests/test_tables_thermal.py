@@ -157,3 +157,70 @@ def test_fill_blank_conserves_energy():
     assert abs(out[0].sum() - flux[0].sum()) < 1e-10 * flux[0].sum()
     # the gap is no longer empty relative to neighbors
     assert out[0, 20:25].min() > 0
+
+
+def test_xray_zeta_ncol_mode():
+    """Ncol-attenuation zeta_X mode (reference disk.f90:1994-2001):
+    matches the unattenuated 1/4pi d^2 estimate at Ncol=0 and decays
+    monotonically with column."""
+    import jax.numpy as jnp
+    import rac2d_tpu.constants as c
+    from rac2d_tpu.ops import columns
+
+    lam = jnp.asarray(np.linspace(1.0, 13.0, 50))      # X-ray band, A
+    vals = jnp.asarray(np.full(50, 1e28))              # erg/s/A
+    is_xray = jnp.ones(50, bool)
+    n = 4
+    depl = jnp.ones(n)
+    d2h = jnp.full(n, 2.8e-12)
+    ga = jnp.full(n, 1e-5)
+    Ncols = jnp.asarray([0.0, 1e22, 1e24, 1e26])
+    r = jnp.full(n, 10.0)
+    z = jnp.zeros(n)
+    zeta = np.asarray(columns.xray_ionization_rate_ncol(
+        lam, vals, is_xray, depl, d2h, ga, Ncols, r, z))
+    assert (zeta > 0).all()
+    assert (np.diff(zeta) < 0).all()          # more column -> less zeta
+    # Ncol=0 case cross-check against a direct quadrature
+    from rac2d_tpu.io import bethell
+    E = np.asarray(c.hPlanck_CGS * c.SpeedOfLight_CGS
+                   / (np.asarray(lam) * 1e-8) / c.keV2erg)
+    sraw = np.asarray(bethell.sigma_dust_raw(jnp.asarray(E), jnp))
+    f = np.asarray(bethell.dust_blanketing(
+        jnp.asarray(sraw), jnp.full(50, 2.8e-12), jnp.full(50, 1e-5),
+        jnp))
+    sig = np.asarray(bethell.sigma_gas(jnp.asarray(E), jnp)) + f * sraw
+    dlam = np.append(np.diff(np.asarray(lam)),
+                     np.diff(np.asarray(lam))[-1])
+    flux = 1e28 * dlam / (4 * np.pi * (10.0 * c.AU2cm) ** 2)
+    z0 = (flux / (E * c.keV2erg) * sig * (E * 1e3 / 37.0)).sum()
+    assert zeta[0] == pytest.approx(z0, rel=1e-10)
+
+
+def test_ion_cooling_lut_matches_reference_spline():
+    """VERDICT round-1 item 9: the on-device lookup must agree with the
+    reference's 2D cubic spline (interpolation.f90:25) to <5%; the raw
+    bilinear table was off by up to 21% on Fe+."""
+    import jax.numpy as jnp
+    from scipy.interpolate import RectBivariateSpline
+    from rac2d_tpu import defaults
+    from rac2d_tpu.io import tables
+
+    for ion in ("N+", "Si+", "Fe+"):
+        lut = tables.IonCoolingLUT(str(defaults.DATA / f"{ion}_LUT.bin"))
+        raw = np.fromfile(str(defaults.DATA / f"{ion}_LUT.bin"),
+                          dtype="<f8")
+        ndim = int(raw[0]); dims = raw[1:1 + ndim].astype(int)
+        nx, ny = int(dims[0]), int(dims[1]); o = 1 + ndim
+        x = raw[o:o + nx]; y = raw[o + nx:o + nx + ny]
+        v = raw[o + nx + ny:o + nx + ny + nx * ny].reshape((ny, nx)).T
+        sp = RectBivariateSpline(x, y, v, kx=3, ky=3)
+        xs = np.linspace(x[0], x[-1], 120)
+        ys = np.linspace(y[0], y[-1], 120)
+        Xs, Ys = np.meshgrid(xs, ys, indexing="ij")
+        ours = np.asarray(lut.cooling_per_ion(
+            jnp.asarray(10.0 ** Xs.ravel()),
+            jnp.asarray(10.0 ** Ys.ravel()))).reshape(120, 120)
+        ref = 10.0 ** sp(xs, ys)
+        rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-300)
+        assert rel.max() < 0.02, (ion, rel.max())
