@@ -116,6 +116,11 @@ class DiskConfig:
     # ad-hoc O/C(/N) depletion of the initial abundances (reference
     # deplete_oxygen_carbon_adhoc, disk.f90:2150-2420); None = off
     depletion: object = None
+    # shard chemistry chunks over the device mesh when >1 device is
+    # visible.  The sharded path jits one whole-integration scan program
+    # (no host_loop) — fastest on real multi-chip, but its compile is
+    # heavy; disable to use the bounded per-interval host loop instead.
+    shard_chemistry: bool = True
     # compute zeta_X from stellar-spectrum Ncol attenuation instead of
     # the MC local-flux tally (reference calc_zetaXray_from_Ncol mode,
     # disk.f90:1994-2001) — useful when too few X-ray packets survive
@@ -625,7 +630,8 @@ class DiskModel:
             float(self.d2h.mean()))
         rtol_b = jnp.tile(rtol, (len(idx), 1))
         atol_b = jnp.tile(atol, (len(idx), 1))
-        if jax.device_count() > 1 and len(idx) % jax.device_count() == 0:
+        if cfg.shard_chemistry and jax.device_count() > 1 \
+                and len(idx) % jax.device_count() == 0:
             # shard the cell batch across the device mesh (pure data
             # parallelism; SURVEY.md §2 parallelism item 2)
             from ..parallel import mesh as meshmod

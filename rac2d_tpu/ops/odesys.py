@@ -157,10 +157,15 @@ class ChemicalODE:
             J = jnp.zeros((self.neq, self.neq)).at[:nS, :nS].set(Js)
             if evolT and self.thermal is not None:
                 f = self.make_f(env, True, tenv)
-                f0 = f(y)
-                # T column: FD through the full RHS (rates recomputed)
+                # T column: FD through the full RHS (rates recomputed).
+                # vmap over [y, y+dT e_N] instantiates ONE copy of the f
+                # body in the graph instead of two — the coupled record's
+                # XLA compile is dominated by repeated thermal-stack
+                # instantiations (see ROOFLINE.md).
                 dT = 1e-2 * T + 1.0
-                col = (f(y.at[nS].set(T + dT)) - f0) / dT
+                f2 = jax.vmap(f)(jnp.stack([y, y.at[nS].set(T + dT)]))
+                f0 = f2[0]
+                col = (f2[1] - f0) / dT
                 # T row: FD of dTdt wrt the 10 key species at fixed k;
                 # zero for species currently negative (reference
                 # disk.f90:4880-4890)

@@ -43,6 +43,10 @@ def tiny_model(tmp_path_factory):
         n_mc_passes=2, nph_per_pass=2000,
         do_vertical_every=1, do_refine=True, do_merge=False,
         converged_fraction=2.0,     # never early-stop: run both iters
+        # host-loop chemistry: the sharded whole-integration scan
+        # program takes tens of minutes to compile on the CPU backend
+        # (sharding itself is covered by tests/test_parallel.py)
+        shard_chemistry=False,
     )
     m = driver.DiskModel(cfg)
     m.prepare()
