@@ -86,3 +86,39 @@ def load_state(path, model, check_consistency=True):
         model.Tdusts = d["Tdusts"]
         model.quality = d["quality"]
         return int(d["iiter"])
+
+
+def save_state_orbax(path, model, iiter=0):
+    """Orbax-backed checkpoint of the same state dict: the multi-host
+    path (each process writes its shards; npz is single-host).  Replaces
+    the role of data_dump.f90 at pod scale."""
+    import orbax.checkpoint as ocp
+    data = dict(
+        grid_hash=np.frombuffer(
+            bytes.fromhex(_grid_hash(model.grid)), dtype=np.uint8).copy(),
+        iiter=np.array(iiter),
+        X=model.X, Tgas=model.Tgas, Tdust=model.Tdust,
+        Tdusts=model.Tdusts, quality=model.quality,
+        n0=model.grid.n0, rho_dust=model.rho_dust)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(pathlib.Path(path).resolve(), data, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_state_orbax(path, model, check_consistency=True):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    d = ckptr.restore(pathlib.Path(path).resolve())
+    if check_consistency:
+        want = _grid_hash(model.grid)
+        got = bytes(np.asarray(d["grid_hash"]).tobytes()).hex()
+        if got != want:
+            raise ValueError(
+                f"checkpoint grid hash {got} != current grid {want}; "
+                "refusing to restore onto a different grid")
+    model.X = np.asarray(d["X"])
+    model.Tgas = np.asarray(d["Tgas"])
+    model.Tdust = np.asarray(d["Tdust"])
+    model.Tdusts = np.asarray(d["Tdusts"])
+    model.quality = np.asarray(d["quality"])
+    return int(np.asarray(d["iiter"]))

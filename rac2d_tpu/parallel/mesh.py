@@ -83,3 +83,35 @@ def mc_pass_sharded(mesh: Mesh, model, key, packets, tallies, **kw):
     # scatter-adds from sharded packets into replicated tallies become
     # XLA all-reduces automatically under jit
     return mcrt.mc_pass(model, key, packets, tallies, **kw)
+
+
+def init_distributed(coordinator=None, num_processes=None, process_id=None):
+    """Multi-host initialization (jax.distributed) for DCN-connected
+    slices: call once per host before building meshes; afterwards
+    jax.devices() spans all hosts and the same make_mesh()/psum code
+    runs unchanged — collectives ride ICI within a slice and DCN across
+    (SURVEY.md §5 distributed-backend design).
+
+    No-ops when already initialized or when env-based auto-detection
+    (TPU pods) suffices.
+    """
+    import jax
+    try:
+        if coordinator is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(coordinator, num_processes,
+                                       process_id)
+    except RuntimeError:
+        pass   # already initialized
+
+
+def host_local_batch(global_arr, mesh, axis="cells"):
+    """Slice a host-global numpy batch to this process's addressable
+    shard rows, for jax.make_array_from_process_local_data-style
+    multi-host feeding."""
+    import jax
+    n = global_arr.shape[0]
+    per = n // jax.process_count()
+    i0 = jax.process_index() * per
+    return global_arr[i0:i0 + per]

@@ -149,3 +149,34 @@ def test_vertical_moving_grid(small_grid):
         mid = slice(1, len(mem) - 1)
         ratio = P[mid] / np.maximum(W[mid], 1e-300)
         assert (ratio > 0.2).all() and (ratio < 5.0).all(), ratio
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax-backed multi-host checkpoint path (single-host smoke)."""
+    pytest.importorskip("orbax.checkpoint")
+    from rac2d_tpu import checkpoint
+
+    class FakeGrid:
+        rmin = np.array([1.0]); rmax = np.array([2.0])
+        zmin = np.array([0.0]); zmax = np.array([1.0])
+        n0 = np.array([1e6])
+
+    class FakeModel:
+        grid = FakeGrid()
+        X = np.random.default_rng(0).random((4, 1))
+        Tgas = np.array([33.0]); Tdust = np.array([21.0])
+        Tdusts = np.array([[21.0]]); quality = np.array([0])
+        rho_dust = np.array([[1e-20]])
+
+    m = FakeModel()
+    p = tmp_path / "ck_orbax"
+    checkpoint.save_state_orbax(p, m, iiter=3)
+    m2 = FakeModel()
+    m2.X = np.zeros_like(m.X)
+    it = checkpoint.load_state_orbax(p, m2)
+    assert it == 3
+    np.testing.assert_allclose(m2.X, m.X)
+    m2.grid = type("G", (), dict(FakeGrid.__dict__,
+                                 rmax=np.array([2.5])))()
+    with pytest.raises(ValueError):
+        checkpoint.load_state_orbax(p, m2)
