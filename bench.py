@@ -1,44 +1,183 @@
-"""Benchmark: cell-ODE steps/s/chip for the batched stiff chemistry solver.
+"""Benchmarks for the three BASELINE.md metrics.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints one JSON line per metric
+(``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``):
 
-Baseline anchor: the reference (serial Fortran DLSODES, one cell at a
-time) budgets up to 60 s wall per cell time-step interval and in practice
-achieves order tens of BDF steps per second on one CPU core
-(BASELINE.md).  We use 40 steps/s as the serial-reference anchor for
-vs_baseline.
+  1. photon packets/s/chip  — the MC transport kernel (`ops/mcrt.mc_pass`)
+     on a realistic multi-thousand-cell disk grid;
+  2. scaling efficiency     — same-total-work chemistry solve, 1 device vs
+     an 8-virtual-device CPU mesh (sharding/collective overhead; this
+     image has no multi-chip TPU, see BASELINE.md);
+  3. cell-ODE steps/s/chip  — the batched stiff BDF chemistry integrator
+     (the headline metric, printed LAST for driver parse continuity).
+
+``vs_baseline`` anchors are MEASURED, not asserted (VERDICT round-1 item
+2), and live in BASELINE_MEASURED.json:
+
+  - chemistry: scipy sparse-BDF (closest DLSODES stand-in available — no
+    gfortran in this image) on the identical dark-cloud cell, one CPU
+    core: 70.5 steps/s.
+  - MC: this framework's own transport kernel pinned to ONE CPU core
+    (compiled-serial stand-in; the reference's own MC is serial Fortran,
+    /root/reference/src/montecarlo.f90:398-800, and publishes no numbers).
+
+Regenerate anchors with ``python tools/measure_serial_baseline.py``.
+
+Env knobs: RAC2D_BENCH_B (batch), RAC2D_BENCH_NREFINE, RAC2D_BENCH_NPH,
+RAC2D_BENCH_ONLY=chem|mc|scaling (run a single metric),
+RAC2D_BENCH_SKIP=scaling (comma list to skip).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-BASELINE_STEPS_PER_S = 40.0
+ROOT = os.path.dirname(os.path.abspath(__file__))
+MEASURED = os.path.join(ROOT, "BASELINE_MEASURED.json")
 
 
-def main():
+def load_anchors():
+    try:
+        with open(MEASURED) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def emit(metric, value, unit, vs):
+    print(json.dumps({"metric": metric, "value": round(value, 2),
+                      "unit": unit, "vs_baseline": round(vs, 3)}),
+          flush=True)
+
+
+# ----------------------------------------------------------------------
+# shared model builder (also used by tools/measure_serial_baseline.py)
+# ----------------------------------------------------------------------
+
+def build_bench_model(ncol=100, max_cells=8000, nph=100_000):
+    """A mid-size TW-Hya-like disk for MC benchmarking (reference-scale
+    physics: full dust optics, X-ray source, Lya; grid a few thousand
+    cells vs the reference's <=10000, README.md:101,351)."""
+    from rac2d_tpu import defaults
+    from rac2d_tpu.models import density, driver
+    from rac2d_tpu.models.grid import GridConfig
+    from rac2d_tpu.ops import optics
+
+    cfg = driver.DiskConfig(
+        star_mass=0.6, star_radius=1.0, star_T=4000.0,
+        lumi_Xray=1e30,
+        andrews=density.AndrewsDisk(Md=0.01, rin=1.0, rout=100.0,
+                                    rc=50.0, hc=10.0),
+        grid=GridConfig(rmin=1.0, rmax=100.0, zmax=100.0, ncol=ncol,
+                        max_num_of_cells=max_cells),
+        dust=[driver.DustComponent(
+            opti_files=[defaults.SILICATE_OPTI], weights=[1.0],
+            d2g_mass=0.01)],
+        network_file=defaults.NETWORK,
+        enthalpy_file=defaults.ENTHALPIES,
+        init_abundances_file=defaults.INIT_ABUNDANCES,
+        h2o_cross_file=defaults.H2O_PHOTOXS,
+        mc=optics.McConfig(nph=nph, nlen_lut=256, n_quantile=128),
+        nph_per_pass=nph, n_mc_passes=2,
+    )
+    m = driver.DiskModel(cfg)
+    m.prepare()
+    return m
+
+
+def time_mc_pass(m, nph, n_timed=1, seed=0):
+    """Warm up (compile + one Lucy pass so Tdust is realistic), then
+    timed raw mc_pass calls.  Returns packets/s."""
     import jax
-
-    # Prefer the TPU; fall back to CPU if the accelerator is unreachable.
-    backend = jax.default_backend()
     import jax.numpy as jnp
+    from rac2d_tpu.models import star as starmod
+    from rac2d_tpu.ops import mcrt
 
+    cfg = m.cfg
+    lam_pk, en_pk = starmod.packet_ladder(
+        m.star, nph, m.mc_cfg.refine_UV, m.mc_cfg.refine_LyA,
+        m.mc_cfg.refine_Xray)
+    en_norm = np.asarray(en_pk) / (float(np.max(en_pk)) or 1.0)
+    lam_pk = jnp.asarray(lam_pk)
+    en_norm = jnp.asarray(en_norm)
+    nlam = len(m.tab.lam)
+    kw = dict(n_quantile=m.mc_cfg.n_quantile,
+              nmax_encounter=m.mc_cfg.nmax_encounter,
+              use_mrw=m.mc_cfg.use_mrw, mrw_gamma=m.mc_cfg.mrw_gamma,
+              mrw_lam_min=m.mc_cfg.mrw_lam_min)
+
+    def one_pass(ip):
+        cells = m.mc_cells()
+        model = mcrt.McModel(tab=m.tab, gi=m.gi, cells=cells,
+                             star_mass=cfg.star_mass)
+        key = jax.random.PRNGKey(seed * 1000 + ip)
+        tall = mcrt.McTallies.zeros(m.grid.n_cells, nlam, m.n_dust, 5)
+        pk = mcrt.launch_packets(model, key, lam_pk, en_norm, 0.0,
+                                 cfg.maxw)
+        pk, tall = mcrt.mc_pass(model, key, pk, tall, **kw)
+        jax.block_until_ready(tall.flux)
+        return tall
+
+    m.run_mc(n_passes=1, seed=seed)   # Lucy warmup: realistic Tdust
+    one_pass(0)                       # compile for this packet shape
+    t0 = time.time()
+    for i in range(n_timed):
+        one_pass(1 + i)
+    dt = (time.time() - t0) / n_timed
+    return len(lam_pk) / dt
+
+
+def bench_mc():
+    import jax
+    backend = jax.default_backend()
+    anchors = load_anchors()
+    nph = int(os.environ.get("RAC2D_BENCH_NPH", 100_000))
+    m = build_bench_model(nph=nph)
+    n_act = int(m.grid.using.sum())
+    pps = time_mc_pass(m, nph)
+    anchor = anchors.get("mc", {}).get("packets_per_s_1core_cpu")
+    vs = pps / anchor if anchor else 0.0
+    emit(f"MC packets/s/chip ({backend}, {n_act} cells, nph={nph}, mrw)",
+         pps, "packets/s/chip", vs)
+
+
+# ----------------------------------------------------------------------
+# chemistry steps/s
+# ----------------------------------------------------------------------
+
+def bench_chem():
+    import jax
+    import jax.numpy as jnp
     from rac2d_tpu import defaults
     from rac2d_tpu.io import umist
     from rac2d_tpu.ops import bdf as bdfmod
     from rac2d_tpu.ops import odesys
     from rac2d_tpu.ops.rates import CellEnv
 
+    backend = jax.default_backend()
     net = umist.load_network(defaults.NETWORK,
                              enthalpy_path=defaults.ENTHALPIES)
     y0 = umist.load_initial_abundances(net, defaults.INIT_ABUNDANCES)
-    ode = odesys.ChemicalODE(net)
 
-    import os
     B = int(os.environ.get("RAC2D_BENCH_B",
-                           32 if backend == "cpu" else 128))
+                           32 if backend == "cpu" else 256))
+    n_refine = int(os.environ.get("RAC2D_BENCH_NREFINE", 0))
+    # production-workload knobs (VERDICT r1 item 2b: evolT=True,
+    # t_max=1e6, ratio 1.1 is the reference workload; the default bench
+    # keeps the round-1 workload for cross-round comparability)
+    evolT = os.environ.get("RAC2D_BENCH_EVOLT", "0") == "1"
+    t_max = float(os.environ.get("RAC2D_BENCH_TMAX", 1e4))
+    ratio = float(os.environ.get("RAC2D_BENCH_RATIO", 1.5))
+    if evolT:
+        from rac2d_tpu.ops import thermal as thermal_mod
+        ode = odesys.ChemicalODE(
+            net, thermal=thermal_mod.ThermalBalance(net))
+    else:
+        ode = odesys.ChemicalODE(net)
     rng = np.random.default_rng(0)
     n_gas = 10 ** rng.uniform(4, 8, B)
     Tg = 10 ** rng.uniform(1, 2, B)
@@ -56,9 +195,16 @@ def main():
     rtol, atol = odesys.tolerance_ladder(net, 1, 1e-4, 1e-30, d2g)
     rtol_b = jnp.tile(rtol, (B, 1))
     atol_b = jnp.tile(atol, (B, 1))
-    touts = jnp.asarray(bdfmod.log_output_times(1e-8, 1e4, 1.5))
+    touts = jnp.asarray(bdfmod.log_output_times(1e-8, t_max, ratio))
     y0b = jnp.tile(jnp.asarray(y0), (B, 1))
     T0b = jnp.asarray(Tg)
+    tenvs = None
+    if evolT:
+        from rac2d_tpu.ops import thermal as thermal_mod
+        tenv1 = thermal_mod.ThermalEnv.default(
+            omega_Kepler=2e-9, velo_width_turb=3e4, coherent_length=1e13)
+        tenvs = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), tenv1)
 
     # host_loop: one bounded device program per record interval — a
     # single whole-integration program runs for minutes and trips the
@@ -66,14 +212,14 @@ def main():
     def solve(y, T):
         return ode.solve_batched(
             envs, y, T, touts, rtol_b, atol_b, first_step=1e-8,
-            evolT=False, max_steps_per_interval=400, host_loop=True,
+            evolT=evolT, tenvs=tenvs,
+            max_steps_per_interval=400, host_loop=True,
             # inexact Newton: skip the f64 refinement matvec (emulated
             # f64 dominates TPU round time); Newton's own convergence
             # test still bounds the corrector residual
-            n_refine=int(os.environ.get("RAC2D_BENCH_NREFINE", 0)))
+            n_refine=n_refine)
 
-    # warmup/compile
-    res = solve(y0b, T0b)
+    res = solve(y0b, T0b)             # warmup/compile
     jax.block_until_ready(res.ys)
     t0 = time.time()
     res = solve(y0b, T0b)
@@ -81,13 +227,115 @@ def main():
     dt = time.time() - t0
     steps = int(np.asarray(res.n_steps).sum())
     sps = steps / dt
-    print(json.dumps({
-        "metric": f"cell-ODE steps/s/chip ({backend}, batch={B}, "
-                  f"{net.n_species + 1} eqns)",
-        "value": round(sps, 2),
-        "unit": "BDF steps/s/chip",
-        "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 2),
-    }))
+    anchors = load_anchors()
+    anchor = float(anchors.get("steps_per_s", 70.5))
+    wl = "coupled-T 1e6yr" if evolT and t_max >= 1e6 else \
+        f"evolT={int(evolT)} tmax={t_max:g}"
+    emit(f"cell-ODE steps/s/chip ({backend}, batch={B}, "
+         f"{net.n_species + 1} eqns, n_refine={n_refine}, {wl})",
+         sps, "BDF steps/s/chip", sps / anchor)
+
+
+# ----------------------------------------------------------------------
+# scaling efficiency (8 virtual CPU devices; child process)
+# ----------------------------------------------------------------------
+
+def scaling_child():
+    """Runs in a subprocess with 8 virtual CPU devices: time the SAME
+    total chemistry work on 1 device vs sharded over all 8.  Prints the
+    efficiency JSON line (parent passes it through)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # axon plugin hijacks env
+    import jax.numpy as jnp
+    from rac2d_tpu import defaults
+    from rac2d_tpu.io import umist
+    from rac2d_tpu.ops import bdf as bdfmod, odesys
+    from rac2d_tpu.ops.rates import CellEnv
+    from rac2d_tpu.parallel import mesh as meshmod
+
+    nd = jax.device_count()
+    net = umist.load_network(defaults.NETWORK,
+                             enthalpy_path=defaults.ENTHALPIES)
+    y0 = umist.load_initial_abundances(net, defaults.INIT_ABUNDANCES)
+    ode = odesys.ChemicalODE(net)
+    B = 32
+    rng = np.random.default_rng(1)
+    n_gas = 10 ** rng.uniform(4, 6, B)
+    d2g = 2.8e-12
+
+    def env_of(i):
+        return CellEnv.default(
+            Tgas=15.0, Tdust=15.0, n_gas=n_gas[i],
+            ratioDust2HnucNum=d2g, ndust_tot=d2g * n_gas[i],
+            GrainRadius_CGS=1e-5, sigdust_ave=np.pi * 1e-10,
+            SitesPerGrain=4 * np.pi * 1e-10 * 1e15)
+
+    envs = jax.tree.map(lambda *a: jnp.stack(a),
+                        *[env_of(i) for i in range(B)])
+    rtol, atol = odesys.tolerance_ladder(net, 1, 1e-4, 1e-30, d2g)
+    touts = jnp.asarray(bdfmod.log_output_times(1e-8, 1e1, 1.5))
+    y0b = jnp.tile(jnp.asarray(y0), (B, 1))
+    T0b = jnp.full(B, 15.0)
+    rtol_b = jnp.tile(rtol, (B, 1))
+    atol_b = jnp.tile(atol, (B, 1))
+    kw = dict(first_step=1e-8, evolT=False, max_steps_per_interval=400)
+
+    def single():
+        r = ode.solve_batched(envs, y0b, T0b, touts, rtol_b, atol_b, **kw)
+        jax.block_until_ready(r.ys)
+
+    def sharded():
+        r = meshmod.sharded_chemistry_solve(
+            meshmod.make_mesh(), ode, envs, None, y0b, T0b, touts,
+            rtol_b, atol_b, 1e-8, False, max_steps_per_interval=400)
+        jax.block_until_ready(r.ys)
+
+    single(); sharded()               # warmup/compile both paths
+    t0 = time.time(); single(); t1 = time.time() - t0
+    t0 = time.time(); sharded(); t8 = time.time() - t0
+    eff = t1 / t8
+    ncpu = os.cpu_count()
+    emit(f"chemistry sharding efficiency (t_1dev/t_{nd}dev, same work, "
+         f"{nd} virtual CPU devices on {ncpu} cores)",
+         eff, "ratio (1.0 = no sharding overhead)", eff)
+
+
+def bench_scaling():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    env["RAC2D_BENCH_CHILD"] = "scaling"
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env, capture_output=True, text=True,
+                       timeout=3000)
+    out = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if out:
+        print(out[-1], flush=True)
+    else:
+        sys.stderr.write("scaling child failed:\n" + r.stderr[-2000:]
+                         + "\n")
+
+
+def main():
+    if os.environ.get("RAC2D_BENCH_CHILD") == "scaling":
+        scaling_child()
+        return
+    only = os.environ.get("RAC2D_BENCH_ONLY", "")
+    skip = os.environ.get("RAC2D_BENCH_SKIP", "").split(",")
+    jobs = [("mc", bench_mc), ("scaling", bench_scaling),
+            ("chem", bench_chem)]   # headline (chem) printed last
+    for name, fn in jobs:
+        if only and name != only:
+            continue
+        if name in skip:
+            continue
+        try:
+            fn()
+        except Exception as e:       # one failing metric must not kill
+            sys.stderr.write(f"bench {name} failed: {e!r}\n")
 
 
 if __name__ == "__main__":
