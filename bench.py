@@ -118,7 +118,7 @@ def time_mc_pass(m, nph, n_timed=1, seed=0):
         tall = mcrt.McTallies.zeros(m.grid.n_cells, nlam, m.n_dust, 5)
         pk = mcrt.launch_packets(model, key, lam_pk, en_norm, 0.0,
                                  cfg.maxw)
-        pk, tall = mcrt.mc_pass(model, key, pk, tall, **kw)
+        pk, tall = mcrt.mc_pass_hosted(model, key, pk, tall, **kw)
         jax.block_until_ready(tall.flux)
         return tall
 
@@ -295,38 +295,53 @@ def scaling_child():
     t0 = time.time(); sharded(); t8 = time.time() - t0
     eff = t1 / t8
     ncpu = os.cpu_count()
-    emit(f"chemistry sharding efficiency (t_1dev/t_{nd}dev, same work, "
-         f"{nd} virtual CPU devices on {ncpu} cores)",
-         eff, "ratio (1.0 = no sharding overhead)", eff)
+    emit(f"chemistry scaling: sharded-{nd}-virtual-device speedup vs "
+         f"1 device (same total work, {ncpu} physical cores)",
+         eff, "x (>=1: sharding pays; ceiling = core count)", eff)
 
 
-def bench_scaling():
+def _run_child(name, timeout, extra_env=None):
+    """Run one metric in a subprocess (a TPU device fault in one metric
+    must not poison the others' JAX client) and pass its JSON line
+    through."""
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
-    env["RAC2D_BENCH_CHILD"] = "scaling"
-    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                       env=env, capture_output=True, text=True,
-                       timeout=3000)
+    env["RAC2D_BENCH_CHILD"] = name
+    env.update(extra_env or {})
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=timeout)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"bench {name} timed out\n")
+        return
     out = [l for l in r.stdout.splitlines() if l.startswith("{")]
     if out:
         print(out[-1], flush=True)
     else:
-        sys.stderr.write("scaling child failed:\n" + r.stderr[-2000:]
-                         + "\n")
+        sys.stderr.write(f"bench {name} child failed:\n"
+                         + r.stderr[-2000:] + "\n")
+
+
+def bench_scaling():
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8"
+                 ).strip()
+    _run_child("scaling", 3000,
+               {"JAX_PLATFORMS": "cpu", "XLA_FLAGS": flags})
 
 
 def main():
-    if os.environ.get("RAC2D_BENCH_CHILD") == "scaling":
-        scaling_child()
+    child = os.environ.get("RAC2D_BENCH_CHILD")
+    if child:
+        {"scaling": scaling_child, "mc": bench_mc,
+         "chem": bench_chem}[child]()
         return
     only = os.environ.get("RAC2D_BENCH_ONLY", "")
     skip = os.environ.get("RAC2D_BENCH_SKIP", "").split(",")
-    jobs = [("mc", bench_mc), ("scaling", bench_scaling),
-            ("chem", bench_chem)]   # headline (chem) printed last
+    jobs = [("mc", lambda: _run_child("mc", 4000)),
+            ("scaling", bench_scaling),
+            ("chem", lambda: _run_child("chem", 4000))]  # headline last
     for name, fn in jobs:
         if only and name != only:
             continue

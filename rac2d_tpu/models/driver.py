@@ -439,7 +439,11 @@ class DiskModel:
                 pk, tall = meshmod.mc_pass_sharded(
                     meshmod.make_mesh(), model, key, pk, tall, **mc_kw)
             else:
-                pk, tall = mcrt.mc_pass(model, key, pk, tall, **mc_kw)
+                # host loop over bounded device programs: a whole-pass
+                # while_loop runs for minutes at production packet
+                # counts and trips the TPU device watchdog
+                pk, tall = mcrt.mc_pass_hosted(model, key, pk, tall,
+                                               **mc_kw)
             tall = tall._replace(**{
                 f: getattr(tall, f).astype(jnp.float64) * en_scale
                 for f in ("flux", "dir_flux", "en_gain", "en_gain_abso",

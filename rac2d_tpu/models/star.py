@@ -60,7 +60,27 @@ def blackbody_star(T, radius, lam0=100.0, lam1=1e8, nlam=2000, **kw) -> Star:
     return st
 
 
+def merge_spectra(base_lam, base_vals, over_lam, over_vals):
+    """Union-grid merge; the overlay replaces the base wherever the
+    overlay has coverage (reference merge_stellar_spectrum,
+    disk.f90:629-650: s1 'has a higher priority over s2')."""
+    lam = np.union1d(base_lam, over_lam)
+    vals = np.interp(lam, base_lam, base_vals)
+    inside = (lam >= over_lam[0]) & (lam <= over_lam[-1])
+    vals[inside] = np.interp(lam[inside], over_lam, over_vals)
+    return lam, vals
+
+
 def load_star_spectrum(path: str, **kw) -> Star:
+    """File spectrum MERGED INTO the photosphere blackbody.
+
+    The reference always builds the full-range blackbody first and then
+    overlays the observed spectrum on its own wavelength range
+    (disk.f90:462-510: make_stellar_spectrum -> merge X-ray -> merge
+    file).  Observed input files often cover only the UV (e.g.
+    tw_hya_spec_combined.dat spans 909-3150 A); using the file alone
+    would leave the star with no optical/IR photosphere and starve the
+    disk of its main dust-heating channel."""
     rows = []
     with open(path) as f:
         for line in f:
@@ -69,7 +89,10 @@ def load_star_spectrum(path: str, **kw) -> Star:
                 rows.append((float(t[0]), float(t[1])))
     arr = np.array(rows)
     order = np.argsort(arr[:, 0])
-    st = Star(lam=arr[order, 0], vals=arr[order, 1], **kw)
+    bb = blackbody_star(kw.get("T", 4000.0), kw.get("radius", 1.0))
+    lam, vals = merge_spectra(bb.lam, bb.vals,
+                              arr[order, 0], arr[order, 1])
+    st = Star(lam=lam, vals=vals, **kw)
     st.lumi = st.luminosity()
     return st
 

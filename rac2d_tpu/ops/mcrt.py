@@ -234,13 +234,17 @@ def _channel_extinctions(tab_dev, cells: McCells, cell, ilam, lam_local):
 @partial(jax.jit,
          static_argnames=("max_steps", "n_quantile", "n_mu",
                           "nmax_encounter", "use_mrw", "mrw_gamma",
-                          "mrw_lam_min"),
+                          "mrw_lam_min", "finalize"),
          donate_argnums=(2, 3))
-def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
-            max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
-            nmax_encounter: int = 50_000, use_mrw: bool = True,
-            mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4):
-    """Run one batch of packets to completion; returns updated tallies."""
+def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
+             max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
+             nmax_encounter: int = 50_000, use_mrw: bool = True,
+             mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4,
+             finalize: bool = True):
+    """One bounded device program: advance all packets up to max_steps
+    walk iterations.  Returns (key', packets, tallies); with
+    finalize=False the MRW path tally is NOT yet folded into the flux
+    (callers loop this and fold once at the end — see mc_pass_hosted)."""
     tab = model.tab
     gi = model.gi
     # the walk runs in F (f32): cast cell state + optical tables once
@@ -566,7 +570,7 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
         return (step + 1, key, pk2, tl2)
 
     step0 = jnp.array(0)
-    _, _, packets, tallies = jax.lax.while_loop(
+    _, key_out, packets, tallies = jax.lax.while_loop(
         cond, body, (step0, key, packets, tallies))
 
     # --- fold the MRW path tally into the lambda-resolved flux and the
@@ -574,21 +578,99 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
     # the local blackbody, so the per-bin deposit weights are
     # B_lambda(Tbar) dlam (IR bins only) and the absorbed energy per
     # dust component is en*path * rho_i kappa_P,i.
+    if use_mrw and finalize:
+        tallies = _mrw_fold_tallies(tallies, rho_kapP, cells, lam_grid,
+                                    mrw_lam_min)
+    return key_out, packets, tallies
+
+
+def _mrw_fold_tallies(tallies, rho_kapP, cells, lam_grid, mrw_lam_min):
+    """Deposit the accumulated MRW path tally as local-blackbody flux
+    and Planck-mean absorbed energy (see _mc_walk MRW notes)."""
+    from ..utils import planck
+    mp = tallies.mrw_path                           # [n_cells] AU*en
+    wsum = jnp.maximum(rho_kapP.sum(0), 1e-30)
+    Tbar = (rho_kapP * cells.Tdust).sum(0) / wsum
+    dlam = jnp.concatenate([jnp.diff(lam_grid), jnp.diff(lam_grid)[-1:]])
+    lam_cm_mid = (lam_grid + 0.5 * dlam) * jnp.asarray(c.Angstrom2cm, F)
+    ir = lam_grid >= mrw_lam_min                     # f32-safe lam^5
+    Bm = planck.B_lambda(Tbar[:, None], lam_cm_mid[None, :])
+    w = jnp.where(ir[None, :], Bm * dlam[None, :], 0.0)
+    w = w / jnp.maximum(w.sum(1, keepdims=True), 1e-30)
+    return tallies._replace(
+        flux=tallies.flux + mp[:, None] * w,
+        en_gain=tallies.en_gain
+        + mp[None, :] * jnp.asarray(c.AU2cm, F) * rho_kapP)
+
+
+@partial(jax.jit, static_argnames=("mrw_lam_min",), donate_argnums=(1,))
+def _mc_mrw_finalize(model: McModel, tallies: McTallies,
+                     mrw_lam_min: float = 1e4):
+    """Standalone MRW fold for the host-chunked path: recompute the
+    cheap per-cell Planck-mean opacities and fold the path tally once
+    after the last chunk."""
+    tab = model.tab
+    cells = model.cells
+    lut_Tds = jnp.asarray(tab.lut_Tds, F)
+    Tdust = jnp.asarray(cells.Tdust, F)
+    rho_dust = jnp.asarray(cells.rho_dust, F)
+    itd = jnp.clip(jax.vmap(lambda Tdi: jnp.searchsorted(lut_Tds, Tdi))(
+        Tdust), 0, lut_Tds.shape[0] - 1)
+    rho_kapP = jnp.take_along_axis(jnp.asarray(tab.kap_P, F), itd,
+                                   axis=1) * rho_dust
+    cells_f = cells._replace(Tdust=Tdust)
+    return _mrw_fold_tallies(tallies, rho_kapP, cells_f,
+                             jnp.asarray(tab.lam, F), mrw_lam_min)
+
+
+def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
+            max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
+            nmax_encounter: int = 50_000, use_mrw: bool = True,
+            mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4):
+    """Run one batch of packets to completion as a single device program;
+    returns (packets, tallies).  On hardware with a device-program
+    watchdog prefer mc_pass_hosted."""
+    _, packets, tallies = _mc_walk(
+        model, key, packets, tallies, max_steps=max_steps,
+        n_quantile=n_quantile, n_mu=n_mu, nmax_encounter=nmax_encounter,
+        use_mrw=use_mrw, mrw_gamma=mrw_gamma, mrw_lam_min=mrw_lam_min,
+        finalize=True)
+    return packets, tallies
+
+
+def mc_pass_hosted(model: McModel, key, packets: Packets,
+                   tallies: McTallies, steps_per_call: int = 1024,
+                   max_steps: int = 100_000, n_quantile: int = 512,
+                   n_mu: int = 5, nmax_encounter: int = 50_000,
+                   use_mrw: bool = True, mrw_gamma: float = 4.0,
+                   mrw_lam_min: float = 1e4, progress_cb=None):
+    """mc_pass as a host loop over BOUNDED device programs.
+
+    A single whole-walk while_loop runs for minutes at production packet
+    counts and trips TPU device watchdogs (same reason the BDF record
+    loop is host-driven, ops/bdf.py); here each device call advances all
+    packets by at most steps_per_call walk iterations and the host stops
+    when every packet has terminated.  The per-pass physics is identical
+    to mc_pass: same RNG stream (the advanced key threads through), same
+    tallies; the MRW flux fold happens once after the last chunk."""
+    done = 0
+    while done < max_steps:
+        # constant chunk size: one compiled program serves every chunk
+        key, packets, tallies = _mc_walk(
+            model, key, packets, tallies, max_steps=steps_per_call,
+            n_quantile=n_quantile, n_mu=n_mu,
+            nmax_encounter=nmax_encounter, use_mrw=use_mrw,
+            mrw_gamma=mrw_gamma, mrw_lam_min=mrw_lam_min,
+            finalize=False)
+        done += steps_per_call
+        n_active = int(jnp.sum(packets.status == ST_ACTIVE))
+        if progress_cb is not None:
+            progress_cb(done, n_active)
+        if n_active == 0:
+            break
     if use_mrw:
-        from ..utils import planck
-        mp = tallies.mrw_path                           # [n_cells] AU*en
-        wsum = jnp.maximum(rho_kapP.sum(0), 1e-30)
-        Tbar = (rho_kapP * cells.Tdust).sum(0) / wsum
-        dlam = jnp.concatenate([jnp.diff(lam_grid), jnp.diff(lam_grid)[-1:]])
-        lam_cm_mid = (lam_grid + 0.5 * dlam) * jnp.asarray(c.Angstrom2cm, F)
-        ir = lam_grid >= mrw_lam_min                     # f32-safe lam^5
-        Bm = planck.B_lambda(Tbar[:, None], lam_cm_mid[None, :])
-        w = jnp.where(ir[None, :], Bm * dlam[None, :], 0.0)
-        w = w / jnp.maximum(w.sum(1, keepdims=True), 1e-30)
-        tallies = tallies._replace(
-            flux=tallies.flux + mp[:, None] * w,
-            en_gain=tallies.en_gain
-            + mp[None, :] * jnp.asarray(c.AU2cm, F) * rho_kapP)
+        tallies = _mc_mrw_finalize(model, tallies,
+                                   mrw_lam_min=mrw_lam_min)
     return packets, tallies
 
 

@@ -93,3 +93,28 @@ def test_reduce_fields_closed_form():
         unatten / c.Habing_energy_flux_CGS, rel=1e-6)
     # Tdust recovered from the absorbed-energy LUT is finite
     assert np.isfinite(float(fld.Tdust[0]))
+
+
+def test_file_spectrum_merged_into_photosphere():
+    """A UV-only observed spectrum must be overlaid on the full-range
+    photosphere blackbody, not replace it (reference disk.f90:462-510:
+    make_stellar_spectrum -> merge_stellar_spectrum; the TW Hya file
+    spans only 909-3150 A)."""
+    from rac2d_tpu import defaults
+    from rac2d_tpu.models import star as starmod
+
+    s = starmod.load_star_spectrum(defaults.TWHYA_SPECTRUM,
+                                   mass=0.6, radius=1.0, T=4000.0)
+    bb = starmod.blackbody_star(4000.0, 1.0)
+    assert s.lam[0] < 909.0 and s.lam[-1] > 1e6
+    # optical/IR photosphere present: luminosity beyond the file range
+    # matches the blackbody
+    L_opt = s.luminosity(5000.0, 1e6)
+    L_opt_bb = bb.luminosity(5000.0, 1e6)
+    assert L_opt == pytest.approx(L_opt_bb, rel=1e-3)
+    # inside the file range the file wins (Lya line far above the bb)
+    i = np.argmin(np.abs(s.lam - 1216.0))
+    j = np.argmin(np.abs(bb.lam - 1216.0))
+    assert s.vals[i] > 100.0 * bb.vals[j]
+    # total = photosphere + UV excess, nothing lost
+    assert s.lumi > bb.lumi

@@ -133,3 +133,38 @@ def test_mrw_thick_cell_matches_plain_walk():
     assert abs(en_mrw - en_plain) / en_plain < 0.15
     # all packets finished under MRW
     assert (st_mrw != mcrt.ST_ACTIVE).all()
+
+
+def test_mc_pass_hosted_matches_single_program():
+    """The host-chunked walk (bounded device programs for the TPU
+    watchdog) must reproduce the single-program mc_pass bit-for-bit:
+    same RNG stream threads across chunk boundaries, MRW fold applied
+    exactly once at the end."""
+    model, tab, rho = _uniform_sphere_model(tau_half=20.0)
+    B = 800
+    lam = np.full(B, 3.0e5)
+    en = np.ones(B)
+    key = jax.random.PRNGKey(3)
+
+    pk0 = mcrt.launch_packets(model, key, jnp.asarray(lam),
+                              jnp.asarray(en), 0.0, 1.0)
+    tall0 = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
+    pk_a, tl_a = mcrt.mc_pass(model, key, pk0, tall0, use_mrw=True,
+                              max_steps=40_000)
+
+    pk1 = mcrt.launch_packets(model, key, jnp.asarray(lam),
+                              jnp.asarray(en), 0.0, 1.0)
+    tall1 = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
+    chunks = []
+    pk_b, tl_b = mcrt.mc_pass_hosted(
+        model, key, pk1, tall1, use_mrw=True, steps_per_call=37,
+        max_steps=40_000,
+        progress_cb=lambda done, act: chunks.append((done, act)))
+
+    assert len(chunks) > 2, "walk must actually span several chunks"
+    np.testing.assert_array_equal(np.asarray(pk_b.status),
+                                  np.asarray(pk_a.status))
+    np.testing.assert_allclose(np.asarray(tl_b.en_gain),
+                               np.asarray(tl_a.en_gain), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tl_b.flux),
+                               np.asarray(tl_a.flux), rtol=1e-6)
