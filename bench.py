@@ -228,9 +228,13 @@ def bench_chem():
     steps = int(np.asarray(res.n_steps).sum())
     sps = steps / dt
     anchors = load_anchors()
-    anchor = float(anchors.get("steps_per_s", 70.5))
-    wl = "coupled-T 1e6yr" if evolT and t_max >= 1e6 else \
-        f"evolT={int(evolT)} tmax={t_max:g}"
+    if evolT and t_max >= 1e6:
+        wl = "coupled-T 1e6yr (production)"
+        anchor = float(anchors.get("coupled", {}).get(
+            "steps_per_s", 0.0)) or float(anchors.get("steps_per_s", 92.8))
+    else:
+        wl = f"evolT={int(evolT)} tmax={t_max:g}"
+        anchor = float(anchors.get("steps_per_s", 92.8))
     emit(f"cell-ODE steps/s/chip ({backend}, batch={B}, "
          f"{net.n_species + 1} eqns, n_refine={n_refine}, {wl})",
          sps, "BDF steps/s/chip", sps / anchor)
@@ -335,12 +339,17 @@ def main():
     child = os.environ.get("RAC2D_BENCH_CHILD")
     if child:
         {"scaling": scaling_child, "mc": bench_mc,
-         "chem": bench_chem}[child]()
+         "chem": bench_chem, "chem_prod": bench_chem}[child]()
         return
     only = os.environ.get("RAC2D_BENCH_ONLY", "")
     skip = os.environ.get("RAC2D_BENCH_SKIP", "").split(",")
+    # chem_prod: the reference production workload (coupled chemistry+T
+    # to 1e6 yr at ratio_tstep 1.1, NEQ=486) — VERDICT r1 item 2b
+    prod_env = {"RAC2D_BENCH_EVOLT": "1", "RAC2D_BENCH_TMAX": "1e6",
+                "RAC2D_BENCH_RATIO": "1.1", "RAC2D_BENCH_B": "128"}
     jobs = [("mc", lambda: _run_child("mc", 4000)),
             ("scaling", bench_scaling),
+            ("chem_prod", lambda: _run_child("chem_prod", 5000, prod_env)),
             ("chem", lambda: _run_child("chem", 4000))]  # headline last
     for name, fn in jobs:
         if only and name != only:

@@ -134,6 +134,63 @@ def measure_chem_jit():
     }
 
 
+def measure_chem_jit_coupled():
+    """Serial stand-in for the PRODUCTION workload: the coupled
+    chemistry+temperature system (NEQ = nSpecies+1, reference
+    disk.f90:4653-4657) with scipy BDF + compiled RHS/Jacobian on one
+    pinned core, 0..1e6 yr."""
+    os.sched_setaffinity(0, {0})
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from scipy.integrate import solve_ivp
+    from scipy.sparse import csc_matrix
+
+    from rac2d_tpu import defaults
+    from rac2d_tpu.io import umist
+    from rac2d_tpu.ops import odesys, thermal
+    from rac2d_tpu.ops.rates import CellEnv
+
+    net = umist.load_network(defaults.NETWORK,
+                             enthalpy_path=defaults.ENTHALPIES)
+    y0 = umist.load_initial_abundances(net, defaults.INIT_ABUNDANCES)
+    tb = thermal.ThermalBalance(net)
+    ode = odesys.ChemicalODE(net, thermal=tb)
+    d2g = 2.8e-12
+    n_gas = 1e6
+    env = CellEnv.default(
+        Tgas=20.0, Tdust=20.0, n_gas=n_gas, Av_toISM=5.0,
+        Av_toStar=5.0, G0_UV_toISM=1.0, Ncol_toISM=n_gas * 1e17,
+        GrainRadius_CGS=1e-5, sigdust_ave=np.pi * 1e-10,
+        ndust_tot=d2g * n_gas, ratioDust2HnucNum=d2g,
+        SitesPerGrain=4 * np.pi * 1e-10 * 1e15)
+    tenv = thermal.ThermalEnv.default(
+        omega_Kepler=2e-9, velo_width_turb=3e4, coherent_length=1e13)
+    f = jax.jit(ode.make_f(env, True, tenv))
+    jac = jax.jit(ode.make_jac(env, True, tenv))
+    y0T = np.concatenate([y0, [20.0]])
+    f(jnp.asarray(y0T)); jac(jnp.asarray(y0T))   # compile outside timer
+    t0 = time.time()
+    sol = solve_ivp(
+        lambda t, y: np.asarray(f(y)), (0.0, 1e6), y0T, method="BDF",
+        jac=lambda t, y: csc_matrix(np.asarray(jac(y))),
+        rtol=1e-4, atol=1e-30)
+    wall = time.time() - t0
+    n_steps = len(sol.t)
+    return {
+        "solver": "scipy BDF + XLA-compiled coupled chemistry+T "
+                  "RHS/Jacobian, 1 pinned CPU core",
+        "cell": "n=1e6 T0=20K, NEQ=486 coupled, 0..1e6 yr, "
+                "rtol 1e-4 atol 1e-30",
+        "n_steps": n_steps,
+        "wall_s": round(wall, 2),
+        "t_reached_yr": float(sol.t[-1]),
+        "finished": bool(sol.success),
+        "steps_per_s": round(n_steps / wall, 1),
+    }
+
+
 def measure_mc(nph=10_000):
     os.sched_setaffinity(0, {0})            # ONE core, genuinely serial
     import jax
@@ -164,6 +221,9 @@ def main():
     if which in ("chem_jit", "all"):
         data.update(measure_chem_jit())
         print("chem jit-RHS:", data["steps_per_s"], "steps/s")
+    if which in ("chem_prod",):
+        data["coupled"] = measure_chem_jit_coupled()
+        print("chem coupled:", data["coupled"]["steps_per_s"], "steps/s")
     if which in ("mc", "all"):
         data["mc"] = measure_mc()
         print("mc:", data["mc"]["packets_per_s_1core_cpu"], "packets/s")
