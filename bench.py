@@ -118,7 +118,8 @@ def time_mc_pass(m, nph, n_timed=1, seed=0):
         tall = mcrt.McTallies.zeros(m.grid.n_cells, nlam, m.n_dust, 5)
         pk = mcrt.launch_packets(model, key, lam_pk, en_norm, 0.0,
                                  cfg.maxw)
-        pk, tall = mcrt.mc_pass_hosted(model, key, pk, tall, **kw)
+        pk, tall, _ = mcrt.mc_pass_hosted(model, key, pk, tall,
+                                          compact=True, **kw)
         jax.block_until_ready(tall.flux)
         return tall
 

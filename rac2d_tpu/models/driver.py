@@ -431,6 +431,7 @@ class DiskModel:
                 use_mrw=self.mc_cfg.use_mrw,
                 mrw_gamma=self.mc_cfg.mrw_gamma,
                 mrw_lam_min=self.mc_cfg.mrw_lam_min)
+            fates = None
             if jax.device_count() > 1 \
                     and len(lam_pk) % jax.device_count() == 0:
                 # packet axis sharded over the device mesh, tallies
@@ -441,9 +442,11 @@ class DiskModel:
             else:
                 # host loop over bounded device programs: a whole-pass
                 # while_loop runs for minutes at production packet
-                # counts and trips the TPU device watchdog
-                pk, tall = mcrt.mc_pass_hosted(model, key, pk, tall,
-                                               **mc_kw)
+                # counts and trips the TPU device watchdog.  compact:
+                # shrink the batch as packets terminate (the lock-step
+                # walk otherwise burns its tail on dead lanes)
+                pk, tall, fates = mcrt.mc_pass_hosted(
+                    model, key, pk, tall, compact=True, **mc_kw)
             tall = tall._replace(**{
                 f: getattr(tall, f).astype(jnp.float64) * en_scale
                 for f in ("flux", "dir_flux", "en_gain", "en_gain_abso",
@@ -465,13 +468,9 @@ class DiskModel:
             self.Tdusts = np.asarray(fld.Tdusts)
             self.Tdust = np.asarray(fld.Tdust)
             # packet-fate bookkeeping (reference counts these,
-            # montecarlo.f90:502-504)
-            st = np.asarray(pk.status)
-            self.mc_counts = {
-                "escaped": int((st == mcrt.ST_ESCAPED).sum()),
-                "destructed": int((st == mcrt.ST_DESTRUCTED).sum()),
-                "premature": int((st == mcrt.ST_PREMATURE).sum()),
-                "active": int((st == mcrt.ST_ACTIVE).sum())}
+            # montecarlo.f90:502-504); the hosted-compacted pass
+            # aggregates fates across compactions itself
+            self.mc_counts = fates or mcrt.packet_fates(pk.status)
             self.say(f"  MC pass {ip + 1}/{n_passes}: "
                      f"{len(lam_pk)} packets in {time.time() - t0:.1f}s; "
                      f"Tdust {self.Tdust[self.grid.using].min():.1f}.."

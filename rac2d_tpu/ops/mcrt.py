@@ -50,6 +50,7 @@ ST_ACTIVE = 0
 ST_ESCAPED = 1
 ST_DESTRUCTED = 2
 ST_PREMATURE = 3
+ST_PADDING = 4      # compaction filler lane: never tallied, never counted
 
 
 class McCells(NamedTuple):
@@ -638,24 +639,64 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
     return packets, tallies
 
 
+_FATE_NAMES = {ST_ESCAPED: "escaped", ST_DESTRUCTED: "destructed",
+               ST_PREMATURE: "premature", ST_ACTIVE: "active"}
+
+
+def _compact_packets(packets: Packets, status: np.ndarray, tier: int):
+    """Shrink the batch to `tier` lanes: live packets first, the rest
+    ST_PADDING filler (copies of lane 0, never tallied because every
+    tally/update in the walk body is masked on ST_ACTIVE).  Returns the
+    new batch and the fate counts of the dropped terminated lanes."""
+    act = np.nonzero(status == ST_ACTIVE)[0]
+    done_mask = (status != ST_ACTIVE) & (status != ST_PADDING)
+    dropped = {name: int((status[done_mask] == code).sum())
+               for code, name in _FATE_NAMES.items()
+               if code != ST_ACTIVE}
+    idx = np.concatenate(
+        [act, np.zeros(tier - len(act), dtype=np.int64)])
+    pk = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), packets)
+    new_status = np.asarray(pk.status).copy()
+    new_status[len(act):] = ST_PADDING
+    return pk._replace(status=jnp.asarray(new_status)), dropped
+
+
+def packet_fates(status) -> dict:
+    """Fate counts of a packet batch, ignoring compaction padding."""
+    st = np.asarray(status)
+    return {name: int((st == code).sum())
+            for code, name in _FATE_NAMES.items()}
+
+
 def mc_pass_hosted(model: McModel, key, packets: Packets,
                    tallies: McTallies, steps_per_call: int = 1024,
                    max_steps: int = 100_000, n_quantile: int = 512,
                    n_mu: int = 5, nmax_encounter: int = 50_000,
                    use_mrw: bool = True, mrw_gamma: float = 4.0,
-                   mrw_lam_min: float = 1e4, progress_cb=None):
+                   mrw_lam_min: float = 1e4, progress_cb=None,
+                   compact: bool = False, compact_floor: int = 1024):
     """mc_pass as a host loop over BOUNDED device programs.
 
     A single whole-walk while_loop runs for minutes at production packet
     counts and trips TPU device watchdogs (same reason the BDF record
     loop is host-driven, ops/bdf.py); here each device call advances all
     packets by at most steps_per_call walk iterations and the host stops
-    when every packet has terminated.  The per-pass physics is identical
-    to mc_pass: same RNG stream (the advanced key threads through), same
-    tallies; the MRW flux fold happens once after the last chunk."""
+    when every packet has terminated.  With compact=False the per-pass
+    physics is bit-identical to mc_pass: same RNG stream (the advanced
+    key threads through), same tallies; the MRW flux fold happens once
+    after the last chunk.
+
+    compact=True additionally shrinks the batch at chunk boundaries
+    (tier ladder B0/8^k, floor 1024) once most packets have terminated —
+    the lock-step walk otherwise spends the long tail of the pass
+    processing dead lanes.  Statistically identical, not bit-identical
+    (the RNG per-lane assignment changes with the batch shape).  Returns
+    (packets, tallies, fates); fates aggregates dropped lanes across
+    compactions."""
+    fates = {v: 0 for v in _FATE_NAMES.values()}
     done = 0
     while done < max_steps:
-        # constant chunk size: one compiled program serves every chunk
+        # constant chunk sizes: one compiled program per tier shape
         key, packets, tallies = _mc_walk(
             model, key, packets, tallies, max_steps=steps_per_call,
             n_quantile=n_quantile, n_mu=n_mu,
@@ -663,14 +704,28 @@ def mc_pass_hosted(model: McModel, key, packets: Packets,
             mrw_gamma=mrw_gamma, mrw_lam_min=mrw_lam_min,
             finalize=False)
         done += steps_per_call
-        n_active = int(jnp.sum(packets.status == ST_ACTIVE))
+        status = np.asarray(packets.status)
+        n_active = int((status == ST_ACTIVE).sum())
         if progress_cb is not None:
             progress_cb(done, n_active)
         if n_active == 0:
             break
+        if compact:
+            tier = status.shape[0]
+            while tier // 8 >= max(2 * n_active, compact_floor):
+                tier //= 8
+            if tier < status.shape[0]:
+                packets, dropped = _compact_packets(packets, status, tier)
+                for k2, v in dropped.items():
+                    fates[k2] += v
     if use_mrw:
         tallies = _mc_mrw_finalize(model, tallies,
                                    mrw_lam_min=mrw_lam_min)
+    final = packet_fates(packets.status)
+    for k2 in fates:
+        fates[k2] += final.get(k2, 0)
+    if compact:
+        return packets, tallies, fates
     return packets, tallies
 
 
