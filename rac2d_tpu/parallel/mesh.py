@@ -69,10 +69,16 @@ def sharded_chemistry_solve(mesh: Mesh, ode, envs, tenvs, y0b, T0b, touts,
                              max_steps_per_interval=max_steps_per_interval)
 
 
-def mc_pass_sharded(mesh: Mesh, model, key, packets, tallies, **kw):
+def mc_pass_sharded(mesh: Mesh, model, key, packets, tallies,
+                    hosted: bool = False, **kw):
     """MC with packets sharded over every device; per-cell tallies are
     partial per shard and all-reduced at the end (psum via jnp.sum over
-    the sharded axis is handled by XLA when we re-shard to replicated)."""
+    the sharded axis is handled by XLA when we re-shard to replicated).
+
+    hosted=True drives the walk as bounded device programs
+    (mcrt.mc_pass_hosted); the shardings persist across host-loop calls.
+    Required on real multi-chip TPU (device-program watchdog — same
+    constraint as the single-chip path)."""
     from ..ops import mcrt
     flat = Mesh(mesh.devices.reshape(-1), axis_names=("d",))
     shp = NamedSharding(flat, P("d"))
@@ -82,6 +88,8 @@ def mc_pass_sharded(mesh: Mesh, model, key, packets, tallies, **kw):
     tallies = jax.tree.map(lambda a: jax.device_put(a, rep), tallies)
     # scatter-adds from sharded packets into replicated tallies become
     # XLA all-reduces automatically under jit
+    if hosted:
+        return mcrt.mc_pass_hosted(model, key, packets, tallies, **kw)
     return mcrt.mc_pass(model, key, packets, tallies, **kw)
 
 

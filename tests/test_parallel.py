@@ -133,3 +133,33 @@ def test_sharded_mc_partial_tallies_reduce():
     r = float(np.asarray(t_half.en_gain).sum()
               / np.asarray(t_all.en_gain).sum())
     assert 0.3 < r < 0.7
+
+
+def test_sharded_mc_hosted_matches_single():
+    """The bounded-program sharded walk (hosted=True) must agree with
+    the single-device pass — shardings persist across host-loop chunks."""
+    from test_mcrt import _uniform_sphere_model
+    from rac2d_tpu.ops import mcrt
+
+    model, tab, rho = _uniform_sphere_model(tau_half=0.5)
+    B = 2048
+    lam = np.full(B, 5.5e4)
+    en = np.ones(B)
+    key = jax.random.PRNGKey(7)
+
+    pk0 = mcrt.launch_packets(model, key, jnp.asarray(lam),
+                              jnp.asarray(en), 0.0, 1.0)
+    tall0 = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
+    _, t_single = mcrt.mc_pass(model, key, pk0, tall0, use_mrw=False)
+
+    mesh = meshmod.make_mesh()
+    pk1 = mcrt.launch_packets(model, key, jnp.asarray(lam),
+                              jnp.asarray(en), 0.0, 1.0)
+    tall1 = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
+    _, t_shard = meshmod.mc_pass_sharded(
+        mesh, model, key, pk1, tall1, hosted=True, steps_per_call=128,
+        use_mrw=False)
+
+    np.testing.assert_allclose(
+        float(np.asarray(t_shard.en_gain).sum()),
+        float(np.asarray(t_single.en_gain).sum()), rtol=1e-4)
