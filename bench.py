@@ -305,10 +305,22 @@ def scaling_child():
          eff, "x (>=1: sharding pays; ceiling = core count)", eff)
 
 
+_T_START = time.time()
+_BUDGET_S = float(os.environ.get("RAC2D_BENCH_BUDGET_S", 3300))
+
+
+def _remaining():
+    return _BUDGET_S - (time.time() - _T_START)
+
+
 def _run_child(name, timeout, extra_env=None):
     """Run one metric in a subprocess (a TPU device fault in one metric
-    must not poison the others' JAX client) and pass its JSON line
-    through."""
+    must not poison the others' JAX client) and return its JSON line
+    (also printing it through)."""
+    timeout = min(timeout, max(_remaining(), 1.0))
+    if timeout < 60:
+        sys.stderr.write(f"bench {name} skipped: budget exhausted\n")
+        return None
     env = dict(os.environ)
     env["RAC2D_BENCH_CHILD"] = name
     env.update(extra_env or {})
@@ -318,13 +330,14 @@ def _run_child(name, timeout, extra_env=None):
                            timeout=timeout)
     except subprocess.TimeoutExpired:
         sys.stderr.write(f"bench {name} timed out\n")
-        return
+        return None
     out = [l for l in r.stdout.splitlines() if l.startswith("{")]
     if out:
         print(out[-1], flush=True)
-    else:
-        sys.stderr.write(f"bench {name} child failed:\n"
-                         + r.stderr[-2000:] + "\n")
+        return out[-1]
+    sys.stderr.write(f"bench {name} child failed:\n"
+                     + r.stderr[-2000:] + "\n")
+    return None
 
 
 def bench_scaling():
@@ -332,8 +345,8 @@ def bench_scaling():
     if "xla_force_host_platform_device_count" not in flags:
         flags = (flags + " --xla_force_host_platform_device_count=8"
                  ).strip()
-    _run_child("scaling", 3000,
-               {"JAX_PLATFORMS": "cpu", "XLA_FLAGS": flags})
+    return _run_child("scaling", 1200,
+                      {"JAX_PLATFORMS": "cpu", "XLA_FLAGS": flags})
 
 
 def main():
@@ -348,19 +361,29 @@ def main():
     # to 1e6 yr at ratio_tstep 1.1, NEQ=486) — VERDICT r1 item 2b
     prod_env = {"RAC2D_BENCH_EVOLT": "1", "RAC2D_BENCH_TMAX": "1e6",
                 "RAC2D_BENCH_RATIO": "1.1", "RAC2D_BENCH_B": "128"}
-    jobs = [("mc", lambda: _run_child("mc", 4000)),
+    # headline FIRST (its line must exist even if a later metric crashes
+    # the TPU client or the driver's outer timeout fires — round-2 bench
+    # died with only the scaling line captured), re-printed LAST so a
+    # last-line parser also sees it on full completion.
+    jobs = [("chem", lambda: _run_child("chem", 1500)),
+            ("mc", lambda: _run_child("mc", 1200)),
             ("scaling", bench_scaling),
-            ("chem_prod", lambda: _run_child("chem_prod", 5000, prod_env)),
-            ("chem", lambda: _run_child("chem", 4000))]  # headline last
+            ("chem_prod", lambda: _run_child("chem_prod", 1500, prod_env))]
+    headline = None
     for name, fn in jobs:
         if only and name != only:
             continue
         if name in skip:
             continue
         try:
-            fn()
+            line = fn()
         except Exception as e:       # one failing metric must not kill
             sys.stderr.write(f"bench {name} failed: {e!r}\n")
+            line = None
+        if name == "chem" and line:
+            headline = line
+    if headline and not only:
+        print(headline, flush=True)
 
 
 if __name__ == "__main__":

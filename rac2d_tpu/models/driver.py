@@ -191,9 +191,14 @@ class DiskModel:
 
         self.say("preparing star...")
         if cfg.star_spectrum_file:
+            # blackbody range tied to the aligned opacity-table lambda
+            # grid (reference disk.f90:465-468), padded so the packet
+            # ladder's band edges stay inside
             self.star = starmod.load_star_spectrum(
                 cfg.star_spectrum_file, mass=cfg.star_mass,
-                radius=cfg.star_radius, T=cfg.star_T)
+                radius=cfg.star_radius, T=cfg.star_T,
+                lam0=min(100.0, float(self.tab.lam[0])),
+                lam1=max(1e8, float(self.tab.lam[-1])))
         else:
             self.star = starmod.blackbody_star(
                 cfg.star_T, cfg.star_radius, mass=cfg.star_mass)
@@ -415,6 +420,18 @@ class DiskModel:
             lam_pk = np.concatenate([lam_pk, np.full(pad, lam_pk[-1])])
             en_norm = np.concatenate([en_norm, np.zeros(pad)])
         nlam = len(self.tab.lam)
+        # walk the ladder in fixed-size slices: one compiled program
+        # shape, bounded device memory, bounded program runtime (TPU
+        # watchdog); each slice's tallies accumulate into the same
+        # buffers.  Pad the final slice with zero-energy PADDING lanes.
+        mb = self.mc_cfg.max_batch
+        n_slices = max(1, -(-len(lam_pk) // mb))
+        if n_slices > 1 and len(lam_pk) % mb:
+            pad = n_slices * mb - len(lam_pk)
+            lam_pk = np.concatenate([lam_pk, np.full(pad, lam_pk[-1])])
+            en_norm = np.concatenate([en_norm, np.zeros(pad)])
+        lam_d = jnp.asarray(lam_pk)
+        en_d = jnp.asarray(en_norm)
         for ip in range(n_passes):
             t0 = time.time()
             cells = self.mc_cells()
@@ -423,30 +440,42 @@ class DiskModel:
             key = jax.random.PRNGKey(seed * 1000 + ip)
             tall = mcrt.McTallies.zeros(self.grid.n_cells, nlam,
                                         self.n_dust, 5)
-            pk = mcrt.launch_packets(model, key, jnp.asarray(lam_pk),
-                                     jnp.asarray(en_norm), 0.0, cfg.maxw)
             mc_kw = dict(
                 n_quantile=self.mc_cfg.n_quantile,
                 nmax_encounter=self.mc_cfg.nmax_encounter,
                 use_mrw=self.mc_cfg.use_mrw,
                 mrw_gamma=self.mc_cfg.mrw_gamma,
-                mrw_lam_min=self.mc_cfg.mrw_lam_min)
-            fates = None
-            if jax.device_count() > 1 \
-                    and len(lam_pk) % jax.device_count() == 0:
-                # packet axis sharded over the device mesh, tallies
-                # all-reduced (SURVEY.md §2 parallelism item 1)
-                from ..parallel import mesh as meshmod
-                pk, tall = meshmod.mc_pass_sharded(
-                    meshmod.make_mesh(), model, key, pk, tall, **mc_kw)
-            else:
-                # host loop over bounded device programs: a whole-pass
-                # while_loop runs for minutes at production packet
-                # counts and trips the TPU device watchdog.  compact:
-                # shrink the batch as packets terminate (the lock-step
-                # walk otherwise burns its tail on dead lanes)
-                pk, tall, fates = mcrt.mc_pass_hosted(
-                    model, key, pk, tall, compact=True, **mc_kw)
+                mrw_lam_min=self.mc_cfg.mrw_lam_min,
+                save_dir=self.mc_cfg.save_dir_flux)
+            fates = {}
+            for isl in range(n_slices):
+                ksl = jax.random.fold_in(key, isl)
+                sl = slice(isl * mb, isl * mb + min(mb, len(lam_pk)))
+                pk = mcrt.launch_packets(model, ksl, lam_d[sl], en_d[sl],
+                                         0.0, cfg.maxw)
+                if jax.device_count() > 1 \
+                        and (sl.stop - sl.start) % jax.device_count() == 0:
+                    # packet axis sharded over the device mesh, tallies
+                    # all-reduced (SURVEY.md §2 parallelism item 1).
+                    # hosted: bounded device programs — required on real
+                    # TPU, where one whole-pass while_loop trips the
+                    # device watchdog (ADVICE r2)
+                    from ..parallel import mesh as meshmod
+                    pk, tall, f_sl = meshmod.mc_pass_sharded(
+                        meshmod.make_mesh(), model, ksl, pk, tall,
+                        hosted=True,
+                        steps_per_call=self.mc_cfg.steps_per_call,
+                        **mc_kw)
+                else:
+                    # host loop over bounded device programs; compact:
+                    # shrink the batch as packets terminate (the lock-
+                    # step walk otherwise burns its tail on dead lanes)
+                    pk, tall, f_sl = mcrt.mc_pass_hosted(
+                        model, ksl, pk, tall, compact=True,
+                        steps_per_call=self.mc_cfg.steps_per_call,
+                        **mc_kw)
+                for k2, v in f_sl.items():
+                    fates[k2] = fates.get(k2, 0) + v
             tall = tall._replace(**{
                 f: getattr(tall, f).astype(jnp.float64) * en_scale
                 for f in ("flux", "dir_flux", "en_gain", "en_gain_abso",
@@ -468,9 +497,9 @@ class DiskModel:
             self.Tdusts = np.asarray(fld.Tdusts)
             self.Tdust = np.asarray(fld.Tdust)
             # packet-fate bookkeeping (reference counts these,
-            # montecarlo.f90:502-504); the hosted-compacted pass
-            # aggregates fates across compactions itself
-            self.mc_counts = fates or mcrt.packet_fates(pk.status)
+            # montecarlo.f90:502-504); the hosted pass aggregates fates
+            # across compactions itself
+            self.mc_counts = fates
             self.say(f"  MC pass {ip + 1}/{n_passes}: "
                      f"{len(lam_pk)} packets in {time.time() - t0:.1f}s; "
                      f"Tdust {self.Tdust[self.grid.using].min():.1f}.."

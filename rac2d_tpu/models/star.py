@@ -71,7 +71,9 @@ def merge_spectra(base_lam, base_vals, over_lam, over_vals):
     return lam, vals
 
 
-def load_star_spectrum(path: str, **kw) -> Star:
+def load_star_spectrum(path: str, *, T: float, radius: float,
+                       lam0: float = 100.0, lam1: float = 1e8,
+                       **kw) -> Star:
     """File spectrum MERGED INTO the photosphere blackbody.
 
     The reference always builds the full-range blackbody first and then
@@ -80,7 +82,12 @@ def load_star_spectrum(path: str, **kw) -> Star:
     file).  Observed input files often cover only the UV (e.g.
     tw_hya_spec_combined.dat spans 909-3150 A); using the file alone
     would leave the star with no optical/IR photosphere and starve the
-    disk of its main dust-heating channel."""
+    disk of its main dust-heating channel.
+
+    T and radius are REQUIRED (the blackbody photosphere is not
+    optional); [lam0, lam1] is the blackbody range in angstrom — the
+    reference ties it to the dust opacity table range (disk.f90:465-468),
+    so callers with tables should pass that range."""
     rows = []
     with open(path) as f:
         for line in f:
@@ -89,10 +96,10 @@ def load_star_spectrum(path: str, **kw) -> Star:
                 rows.append((float(t[0]), float(t[1])))
     arr = np.array(rows)
     order = np.argsort(arr[:, 0])
-    bb = blackbody_star(kw.get("T", 4000.0), kw.get("radius", 1.0))
+    bb = blackbody_star(T, radius, lam0=lam0, lam1=lam1)
     lam, vals = merge_spectra(bb.lam, bb.vals,
                               arr[order, 0], arr[order, 1])
-    st = Star(lam=lam, vals=vals, **kw)
+    st = Star(T=T, radius=radius, lam=lam, vals=vals, **kw)
     st.lumi = st.luminosity()
     return st
 

@@ -127,6 +127,13 @@ class GridIndex(NamedTuple):
     zmax_dom: float
     rmin_dom: float
     rmax_dom: float
+    # log-uniform radial lookup table: one gather + one correction
+    # comparison replaces the per-step binary search over r_edges
+    # (searchsorted is ~10 dependent gathers on TPU).  None -> fall back
+    # to searchsorted (hand-built test fixtures).
+    r_lut: jnp.ndarray = None   # [n_lut] int32: column of each slot edge
+    r_lut_log0: float = 0.0     # ln(r_edges[0])
+    r_lut_inv_d: float = 1.0    # n_lut / ln(r_max/r_min)
 
 
 def build_grid_index(grid) -> GridIndex:
@@ -146,11 +153,27 @@ def build_grid_index(grid) -> GridIndex:
         cell_of[i, :len(m)] = m
         r_edges[i] = grid.rmin[m[0]]
         r_edges[i + 1] = grid.rmax[m[0]]
+    # radial lookup table: slots fine enough that at most one column
+    # boundary falls inside any slot (single +1 correction in locate)
+    ln_r = np.log(r_edges)
+    min_dlog = np.diff(ln_r).min()
+    span = ln_r[-1] - ln_r[0]
+    n_lut = int(min(max(4096, 4.0 * span / max(min_dlog, 1e-12)), 1 << 20))
+    r_lut = None
+    log0 = inv_d = 0.0
+    if span / n_lut < min_dlog:
+        slot_left = np.exp(ln_r[0] + span * np.arange(n_lut) / n_lut)
+        r_lut = np.clip(np.searchsorted(r_edges, slot_left,
+                                        side="right") - 1, 0, ncol - 1)
+        log0 = float(ln_r[0])
+        inv_d = float(n_lut / span)
     return GridIndex(
         r_edges=jnp.asarray(r_edges), z_edges=jnp.asarray(z_edges),
         cell_of=jnp.asarray(cell_of), n_z=jnp.asarray(nz, dtype=jnp.int32),
         zmax_dom=float(grid.zmax.max()), rmin_dom=float(r_edges[0]),
-        rmax_dom=float(r_edges[-1]))
+        rmax_dom=float(r_edges[-1]),
+        r_lut=None if r_lut is None else jnp.asarray(r_lut, jnp.int32),
+        r_lut_log0=log0, r_lut_inv_d=inv_d)
 
 
 def locate(gi: GridIndex, rsq, z_abs):
@@ -160,8 +183,21 @@ def locate(gi: GridIndex, rsq, z_abs):
     reference's pointer-tree walk (ray_propagating.f90:136-178)."""
     r = jnp.sqrt(rsq)
     ncol = gi.r_edges.shape[0] - 1
-    ic = jnp.clip(jnp.searchsorted(gi.r_edges, r, side="right") - 1,
-                  0, ncol - 1)
+    if gi.r_lut is not None:
+        n_lut = gi.r_lut.shape[0]
+        slot = jnp.clip(jnp.floor(
+            (jnp.log(jnp.maximum(r, 1e-30)) - gi.r_lut_log0)
+            * gi.r_lut_inv_d).astype(jnp.int32), 0, n_lut - 1)
+        ic0 = gi.r_lut[slot]
+        # at most one boundary per slot by construction: +-1 correction
+        # (the -1 guards f32 log round-off landing one slot high)
+        ic = ic0 + (r >= gi.r_edges[jnp.minimum(ic0 + 1, ncol)]
+                    ).astype(jnp.int32) \
+            - (r < gi.r_edges[ic0]).astype(jnp.int32)
+        ic = jnp.clip(ic, 0, ncol - 1)
+    else:
+        ic = jnp.clip(jnp.searchsorted(gi.r_edges, r, side="right") - 1,
+                      0, ncol - 1)
     zrow = gi.z_edges[ic]                  # [..., max_nz + 1]
     # comparison-count "searchsorted" along the ragged z ladder (the pad
     # value +inf never counts); works for scalar or batched inputs

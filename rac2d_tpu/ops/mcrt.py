@@ -51,6 +51,8 @@ ST_ESCAPED = 1
 ST_DESTRUCTED = 2
 ST_PREMATURE = 3
 ST_PADDING = 4      # compaction filler lane: never tallied, never counted
+ST_DESTR_WATER = 5  # destroyed by water absorption (its en deposit is
+                    # folded outside the walk loop; counts as destructed)
 
 
 class McCells(NamedTuple):
@@ -189,65 +191,53 @@ class McModel(NamedTuple):
     star_mass: float
 
 
-def _channel_extinctions(tab_dev, cells: McCells, cell, ilam, lam_local):
-    """Per-channel extinction [1/cm] for each packet.
-
-    Returns (ab_channels [n_dust+2, B], sc_channels [n_dust+2, B]):
-    channel 0 = gas (X-ray abs / HI scattering), 1 = water,
-    2.. = dust components.
-    """
-    lamt, kab, ksc, xga, xgs, xda0, xds, sh2o = tab_dev
-    n_gas = cells.n_gas[cell]
-    n_HI = cells.n_HI[cell]
-    n_H2O = cells.n_H2O[cell]
-    Tg = jnp.maximum(cells.Tgas[cell], 1.0)
-
-    ab_gas = xga[ilam] * n_gas
-    sigma_lya = optics.lya_sigma(lam_local, Tg)
-    sc_gas = xgs[ilam] * n_gas + sigma_lya * n_HI
-
-    ab_h2o = sh2o[ilam] * n_H2O
-    sc_h2o = jnp.zeros_like(ab_h2o)
-
-    n_dust = cells.rho_dust.shape[0]
-    ab_d = []
-    sc_d = []
-    for i in range(n_dust):
-        rho = cells.rho_dust[i][cell]
-        ab_i = kab[i][ilam] * rho
-        sc_i = ksc[i][ilam] * rho
-        if i == n_dust - 1:
-            # X-ray dust terms ride on the last component (reference
-            # update_current_accum, montecarlo.f90:1193-1201)
-            eps = cells.dust_depletion[cell]
-            sraw = xda0[ilam] * eps
-            f = bethell.dust_blanketing(sraw, cells.d2h[cell],
-                                        cells.grain_a[cell], jnp)
-            ab_i = ab_i + f * sraw * n_gas
-            sc_i = sc_i + xds[ilam] * n_gas * eps
-        ab_d.append(ab_i)
-        sc_d.append(sc_i)
-    ab = jnp.stack([ab_gas, ab_h2o] + ab_d)
-    sc = jnp.stack([sc_gas, sc_h2o] + sc_d)
-    return ab, sc
+def _cellmat_layout(n_dust):
+    """Column layout of the packed per-cell matrix (one row gather per
+    walk step replaces ~15 separate per-cell gathers; on TPU every
+    B-indexed gather costs ~1 ms regardless of width)."""
+    base = 12 + 3 * n_dust
+    return {
+        "rmin": 0, "rmax": 1, "zmin": 2, "zmax": 3, "using": 4,
+        "n_gas": 5, "n_HI": 6, "n_H2O": 7, "Tgas": 8,
+        "depl": 9, "d2h": 10, "grain_a": 11,
+        "rho0": 12,          # per dust i: 12+3i rho, 13+3i Td, 14+3i wei
+        "mrw_inv_mfp": base,
+        "mrw_base": base + 1,   # precomputed MRW reemission flat base
+        "ncol": base + 2,
+    }
 
 
 @partial(jax.jit,
          static_argnames=("max_steps", "n_quantile", "n_mu",
                           "nmax_encounter", "use_mrw", "mrw_gamma",
-                          "mrw_lam_min", "finalize"),
+                          "mrw_lam_min", "finalize", "save_dir"),
          donate_argnums=(2, 3))
 def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
              max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
              nmax_encounter: int = 50_000, use_mrw: bool = True,
              mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4,
-             finalize: bool = True):
+             finalize: bool = True, save_dir: bool = False):
     """One bounded device program: advance all packets up to max_steps
     walk iterations.  Returns (key', packets, tallies); with
     finalize=False the MRW path tally is NOT yet folded into the flux
-    (callers loop this and fold once at the end — see mc_pass_hosted)."""
+    and terminal tallies (collector bins, water) are NOT yet collected —
+    callers loop this and fold once at the end (see mc_pass_hosted).
+
+    TPU cost model (measured, tools/probe_loop_ops*.py): inside a
+    while_loop every B-indexed gather/scatter costs ~1 ms at B~1e5
+    almost independent of row width, and searchsorted ~3-10 ms; plain
+    elementwise work is ~free.  The body is therefore organized around
+    a MINIMAL number of indexed ops: one packed cell-row gather, one
+    packed lambda-row gather, closed-form bin indices (optics.lam_to_bin
+    / log-uniform Tdust LUT), a single fused RNG draw, and one scatter
+    per physically distinct tally.  Escaped-packet collector binning and
+    water-absorption deposits happen OUTSIDE the loop entirely
+    (fold_terminal_tallies) since they are once-per-packet events whose
+    state is frozen in the terminated lanes.
+    """
     tab = model.tab
     gi = model.gi
+    seg = tab.lam_seg
     # the walk runs in F (f32): cast cell state + optical tables once
     cells = model.cells._replace(**{
         f: jnp.asarray(getattr(model.cells, f), F)
@@ -258,26 +248,31 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
     nlam = lam_grid.shape[0]
     n_cells = cells.rmin.shape[0]
     n_dust = cells.rho_dust.shape[0]
-    tab_dev = tuple(jnp.asarray(a, F) for a in (
-        tab.lam, tab.kab, tab.ksc, tab.xr_gas_abs, tab.xr_gas_sca,
-        tab.xr_dus_abs0, tab.xr_dus_sca, tab.sigma_h2o))
-    g_dev = jnp.asarray(tab.g, F)
-    reemit_q = jnp.asarray(tab.reemit_q)
-    lut_Tds = jnp.asarray(tab.lut_Tds, F)
-    is_xray = jnp.asarray(tab.is_xray)
+    lam_lo = lam_grid[0]
+    lam_hi = lam_grid[-1]
     xr_lo = c.lam_range_Xray[0] / c.Angstrom2micron
     xr_hi = c.lam_range_Xray[1] / c.Angstrom2micron
+
+    # --- Tdust LUT index in closed form (log-uniform grid) ------------
+    lut_Tds = jnp.asarray(tab.lut_Tds, F)
+    nT = lut_Tds.shape[0]
+    lnT0 = jnp.log(lut_Tds[0])
+    inv_dlnT = (nT - 1) / (jnp.log(lut_Tds[-1]) - lnT0)
+
+    def tdust_idx(Td):
+        t = (jnp.log(jnp.maximum(Td, 1e-30)) - lnT0) * inv_dlnT
+        return jnp.clip(jnp.ceil(t), 0, nT - 1).astype(jnp.int32)
+
+    # --- reemission wavelengths pre-baked: one flat gather ------------
+    reemit_lam = lam_grid[jnp.asarray(tab.reemit_q)].reshape(-1)
 
     # --- Modified Random Walk per-cell precomputation -----------------
     # (Min et al. 2009; no analogue in the reference, which walks every
     # scattering event, montecarlo.f90:577.)  Per cell at the FROZEN
     # pass Tdust: inverse transport mfp (Rosseland), Planck-mean
-    # absorption per dust component, dominant emitter, and the
-    # blackbody bin weights for the deferred flux deposit.
-    nT_lut = lut_Tds.shape[0]
-    itd_cell = jnp.clip(
-        jax.vmap(lambda Tdi: jnp.searchsorted(lut_Tds, Tdi))(cells.Tdust),
-        0, nT_lut - 1)                                   # [n_dust, n_cells]
+    # absorption per dust component, and the dominant emitter's
+    # reemission-table base index.
+    itd_cell = optics.tdust_bin(lut_Tds, cells.Tdust)   # [n_dust, n_cells]
     kap_trR = jnp.asarray(tab.kap_trR, F)                # [n_dust, nT]
     kap_P = jnp.asarray(tab.kap_P, F)
     rho_kaptr = jnp.take_along_axis(kap_trR, itd_cell, axis=1) \
@@ -285,9 +280,31 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
     rho_kapP = jnp.take_along_axis(kap_P, itd_cell, axis=1) \
         * cells.rho_dust
     mrw_inv_mfp = rho_kaptr.sum(0)                       # [n_cells] 1/cm
-    mrw_idom = jnp.argmax(rho_kapP, axis=0).astype(jnp.int32)  # [n_cells]
+    mrw_idom = jnp.argmax(rho_kapP, axis=0)              # [n_cells]
+    mrw_itd = jnp.take_along_axis(itd_cell, mrw_idom[None, :],
+                                  axis=0)[0]
+    mrw_base = ((mrw_idom * nT + mrw_itd) * n_quantile).astype(F)
     mrw_lnx = jnp.asarray(tab.mrw_lnx, F)
     n_mrw = mrw_lnx.shape[0]
+
+    # --- packed per-cell matrix (ONE row gather per step) -------------
+    L = _cellmat_layout(n_dust)
+    cols = [cells.rmin, cells.rmax, cells.zmin, cells.zmax,
+            cells.using.astype(F), cells.n_gas, cells.n_HI, cells.n_H2O,
+            cells.Tgas, cells.dust_depletion, cells.d2h, cells.grain_a]
+    for i in range(n_dust):
+        cols += [cells.rho_dust[i], cells.Tdust[i], cells.abso_wei[i]]
+    cols += [mrw_inv_mfp, mrw_base]
+    cellmat = jnp.stack(cols, axis=1)                    # [n_cells, C]
+
+    # --- packed per-lambda-bin matrix (ONE row gather per step) -------
+    tcols = [jnp.asarray(tab.xr_gas_abs, F), jnp.asarray(tab.xr_gas_sca, F),
+             jnp.asarray(tab.sigma_h2o, F), jnp.asarray(tab.xr_dus_abs0, F),
+             jnp.asarray(tab.xr_dus_sca, F)]
+    for i in range(n_dust):
+        tcols += [jnp.asarray(tab.kab[i], F), jnp.asarray(tab.ksc[i], F),
+                  jnp.asarray(tab.g[i], F)]
+    tabmat = jnp.stack(tcols, axis=1)                    # [nlam, K]
 
     def cond(state):
         step, key, pk, tl = state
@@ -295,16 +312,25 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
 
     def body(state):
         step, key, pk, tl = state
-        (key, k_tau, k_ev, k_dir1, k_dir2, k_q,
-         k_m1, k_m2, k_m3, k_m4) = jax.random.split(key, 10)
+        key, k_u = jax.random.split(key)
+        # single fused draw: one RNG op instead of ~8 (each ~0.5 ms)
+        u = jax.random.uniform(k_u, (10,) + pk.x.shape, F)
+        u_tau = jnp.maximum(u[0], 1e-12)
+        u_ev, u_d1, u_d2, u_q = u[1], u[2], u[3], u[4]
         active = pk.status == ST_ACTIVE
         B = pk.x.shape[0]
 
         cell = jnp.clip(pk.cell, 0, n_cells - 1)
-        rmin = cells.rmin[cell]
-        rmax = cells.rmax[cell]
-        zmin = cells.zmin[cell]
-        zmax = cells.zmax[cell]
+        crow = cellmat[cell]                             # [B, C]
+        rmin = crow[:, L["rmin"]]
+        rmax = crow[:, L["rmax"]]
+        zmin = crow[:, L["zmin"]]
+        zmax = crow[:, L["zmax"]]
+        using_c = crow[:, L["using"]] > 0.5
+        n_gas = crow[:, L["n_gas"]]
+        n_HI = crow[:, L["n_HI"]]
+        n_H2O = crow[:, L["n_H2O"]]
+        Tg = jnp.maximum(crow[:, L["Tgas"]], 1.0)
 
         # --- Modified Random Walk: packets deep inside an optically
         # thick cell take one diffusion step instead of ~(R0/mfp)^2
@@ -317,9 +343,10 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
             R0 = jnp.minimum(jnp.minimum(r_pk - rmin, rmax - r_pk),
                              jnp.minimum(dz_lo, zmax - az)) \
                 * jnp.asarray(0.999, F)
-            mrw = (active & cells.using[cell]
+            mrw = (active & using_c
                    & (pk.lam > mrw_lam_min)
-                   & (R0 * c.AU2cm * mrw_inv_mfp[cell] > mrw_gamma))
+                   & (R0 * c.AU2cm * crow[:, L["mrw_inv_mfp"]]
+                      > mrw_gamma))
             active = active & ~mrw
         else:
             mrw = jnp.zeros(B, bool)
@@ -333,18 +360,37 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         stuck = active & ~found
         active = active & found
 
-        # local-frame wavelength and its index
+        # local-frame wavelength and its bin (closed form, no search)
         vd = _doppler_vd(model.star_mass, pk.x, pk.y, pk.z, pk.vx, pk.vy)
         lam_local = pk.lam * (1.0 + vd / c.SpeedOfLight_CGS)
-        ilam = jnp.clip(jnp.searchsorted(lam_grid, lam_local) - 1,
-                        0, nlam - 1)
-        in_grid = (lam_local >= lam_grid[0]) & (lam_local < lam_grid[-1])
+        ilam = optics.lam_to_bin(seg, lam_local)
+        in_grid = (lam_local >= lam_lo) & (lam_local < lam_hi)
 
-        using = cells.using[cell] & in_grid
-        ab_ch, sc_ch = _channel_extinctions(tab_dev, cells, cell, ilam,
-                                            lam_local)
-        ext_ab = ab_ch.sum(0)
-        ext_sc = sc_ch.sum(0)
+        using = using_c & in_grid
+        trow = tabmat[ilam]                              # [B, K]
+        sigma_lya = optics.lya_sigma(lam_local, Tg)
+        ab_gas = trow[:, 0] * n_gas
+        sc_gas = trow[:, 1] * n_gas + sigma_lya * n_HI
+        ab_h2o = trow[:, 2] * n_H2O
+        ab_d = []
+        sc_d = []
+        for i in range(n_dust):
+            rho = crow[:, L["rho0"] + 3 * i]
+            ab_i = trow[:, 5 + 3 * i] * rho
+            sc_i = trow[:, 6 + 3 * i] * rho
+            if i == n_dust - 1:
+                # X-ray dust terms ride on the last component (reference
+                # update_current_accum, montecarlo.f90:1193-1201)
+                epsd = crow[:, L["depl"]]
+                sraw = trow[:, 3] * epsd
+                f = bethell.dust_blanketing(sraw, crow[:, L["d2h"]],
+                                            crow[:, L["grain_a"]], jnp)
+                ab_i = ab_i + f * sraw * n_gas
+                sc_i = sc_i + trow[:, 4] * n_gas * epsd
+            ab_d.append(ab_i)
+            sc_d.append(sc_i)
+        ext_ab = ab_gas + ab_h2o + sum(ab_d)
+        ext_sc = sc_gas + sum(sc_d)
         ext_tot = jnp.where(using, ext_ab + ext_sc, 0.0)
         albedo = ext_sc / jnp.maximum(ext_tot, 1e-33)
 
@@ -364,25 +410,27 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         flux = tl.flux.reshape(-1).at[flat].add(wflux).reshape(tl.flux.shape)
         phc = tl.phc.reshape(-1).at[flat].add(
             jnp.where(tmask, 1.0, 0.0)).reshape(tl.phc.shape)
-        dir_flux = tl.dir_flux.at[cell].add(
-            wflux[:, None] * jnp.stack([pk.vx, pk.vy, pk.vz], axis=1))
+        if save_dir:
+            dir_flux = tl.dir_flux.at[cell].add(
+                wflux[:, None] * jnp.stack([pk.vx, pk.vy, pk.vz], axis=1))
+        else:
+            dir_flux = tl.dir_flux
         frac_abso = jnp.where(
             tmask & (tau_this > 0.0),
             jnp.where(tau_this <= 1e-4, tau_this,
                       -jnp.expm1(-jnp.minimum(tau_this, 30.0)))
             * (1.0 - albedo), 0.0)
-        en_gain = tl.en_gain.at[:, cell].add(
-            frac_abso * pk.en * cells.abso_wei[:, cell])
+        en_gain = tl.en_gain
+        for i in range(n_dust):
+            en_gain = en_gain.at[i, cell].add(
+                frac_abso * pk.en * crow[:, L["rho0"] + 3 * i + 2])
 
         # --- event selection ---
-        probs = jnp.concatenate([
-            jnp.stack([ab_ch[0], sc_ch[0]]),        # gas abs / gas sca
-            jnp.stack([ab_ch[1], sc_ch[1]]),        # water abs / sca
-        ] + [jnp.stack([ab_ch[2 + i], sc_ch[2 + i]])
-             for i in range(n_dust)])               # [2*(2+n_dust), B]
+        probs = jnp.stack([ab_gas, sc_gas, ab_h2o, jnp.zeros_like(ab_h2o)]
+                          + [x for pair in zip(ab_d, sc_d) for x in pair])
         cum = jnp.cumsum(probs, axis=0)
-        u_ev = jax.random.uniform(k_ev, (B,), F) * cum[-1]
-        ev = jnp.argmax(cum > u_ev[None, :], axis=0)   # first channel > u
+        u_ev2 = u_ev * cum[-1]
+        ev = jnp.argmax(cum > u_ev2[None, :], axis=0)  # first channel > u
 
         is_x = (lam_local >= xr_lo) & (lam_local <= xr_hi)
         ev_gas_abs = enc & (ev == 0)
@@ -392,31 +440,31 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         ev_dust = enc & (ev >= 4)
         ev_dust_abs = ev_dust & (ev % 2 == 0)
         ev_dust_sca = ev_dust & (ev % 2 == 1)
-
-        # water-absorption tally
-        ab_en_water = tl.ab_en_water.at[cell].add(
-            jnp.where(ev_h2o_abs, pk.en, 0.0))
-
-        # discrete dust absorption tally (non-X-ray)
         dust_abs_keep = ev_dust_abs & ~is_x
+
+        # discrete dust absorption tally (non-X-ray); water deposits are
+        # terminal events folded outside the loop (fold_terminal_tallies)
         en_gain_abso = tl.en_gain_abso.reshape(-1).at[
             idust_ev * n_cells + cell].add(
             jnp.where(dust_abs_keep, pk.en, 0.0)).reshape(
             tl.en_gain_abso.shape)
 
         # --- new directions ---
-        u1 = jax.random.uniform(k_dir1, (B,), F)
-        u2 = jax.random.uniform(k_dir2, (B,), F)
-        phi = 2.0 * jnp.pi * u2
-        g_pk = g_dev[idust_ev, ilam]
-        cost_sca = jnp.where(ev_gas_sca & is_x, _thomson_cost(u1),
-                             jnp.where(ev_dust_sca, _hg_cost(u1, g_pk),
-                                       2.0 * u1 - 1.0))
+        phi = 2.0 * jnp.pi * u_d2
+        # per-dust asymmetry from the packed lambda row, selected by the
+        # event's dust component (elementwise, no extra gather)
+        g_pk = trow[:, 7]
+        for i in range(1, n_dust):
+            g_pk = jnp.where(idust_ev == i, trow[:, 7 + 3 * i], g_pk)
+        cost_sca = jnp.where(ev_gas_sca & is_x, _thomson_cost(u_d1),
+                             jnp.where(ev_dust_sca, _hg_cost(u_d1, g_pk),
+                                       2.0 * u_d1 - 1.0))
         sx, sy, sz = _rotate_about(pk.vx, pk.vy, pk.vz, cost_sca, phi)
         # isotropic reemission after dust absorption
-        rx = jnp.cos(phi) * jnp.sqrt(jnp.maximum(1 - (2 * u1 - 1) ** 2, 0))
-        ry = jnp.sin(phi) * jnp.sqrt(jnp.maximum(1 - (2 * u1 - 1) ** 2, 0))
-        rz = 2.0 * u1 - 1.0
+        rz = 2.0 * u_d1 - 1.0
+        rs = jnp.sqrt(jnp.maximum(1.0 - rz * rz, 0.0))
+        rx = jnp.cos(phi) * rs
+        ry = jnp.sin(phi) * rs
 
         scatterish = ev_gas_sca | ev_dust_sca
         reemitish = dust_abs_keep
@@ -428,24 +476,36 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         # scattering: doppler into local frame, direction changes, back out
         vd_new = _doppler_vd(model.star_mass, nx, ny, nz, nvx, nvy)
         lam_scat = lam_local * (1.0 - vd_new / c.SpeedOfLight_CGS)
-        # dust reemission at frozen Tdust (Lucy iteration)
-        Td = cells.Tdust[idust_ev, cell]
-        nT = lut_Tds.shape[0]
-        itd = jnp.clip(jnp.searchsorted(lut_Tds, Td), 0, nT - 1)
-        iq = jnp.clip((jax.random.uniform(k_q, (B,), F)
-                       * n_quantile).astype(jnp.int32),
+        # dust reemission at frozen Tdust (Lucy iteration): flat index
+        # into the pre-baked wavelength quantile table; the MRW thermal
+        # wavelength (dominant emitter, precomputed base) shares the
+        # SAME gather via index selection
+        Td = crow[:, L["rho0"] + 1]
+        for i in range(1, n_dust):
+            Td = jnp.where(idust_ev == i, crow[:, L["rho0"] + 3 * i + 1],
+                           Td)
+        itd = tdust_idx(Td)
+        iq = jnp.clip((u_q * n_quantile).astype(jnp.int32),
                       0, n_quantile - 1)
-        ilam_re = reemit_q[idust_ev, itd, iq]
-        lam_re = lam_grid[ilam_re]
+        idx_re = (idust_ev * nT + itd) * n_quantile + iq
+        if use_mrw:
+            iqm = jnp.clip((u[7] * n_quantile).astype(jnp.int32),
+                           0, n_quantile - 1)
+            idx_mrw = crow[:, L["mrw_base"]].astype(jnp.int32) + iqm
+            idx_re = jnp.where(mrw, idx_mrw, idx_re)
+        lam_re = reemit_lam[idx_re]
         cold = Td <= lut_Tds[0]
         new_lam = jnp.where(scatterish, lam_scat,
                             jnp.where(reemitish & ~cold, lam_re, pk.lam))
 
         # --- status updates ---
-        destro = enc & (ev_gas_abs | ev_h2o_abs
+        destro_water = enc & ev_h2o_abs
+        destro = enc & (ev_gas_abs
                         | (ev_dust_abs & is_x)
                         | (dust_abs_keep & cold))
         new_status = jnp.where(active & destro, ST_DESTRUCTED, pk.status)
+        new_status = jnp.where(active & destro_water, ST_DESTR_WATER,
+                               new_status)
         new_status = jnp.where(stuck, ST_PREMATURE, new_status)
         # encounter-count cap: give up on packets random-walking forever in
         # ultra-thick cells (reference nmax_encounter, montecarlo.f90:690-693)
@@ -462,52 +522,9 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         new_cell = jnp.where(crossed, jnp.maximum(new_cell_loc, 0), pk.cell)
 
         cr_count = tl.cr_count.at[new_cell].add(
-            jnp.where(crossed & ~escaped & cells.using[new_cell], 1.0, 0.0))
-
-        # collector for escaped packets: bin by |mu| x lam
-        mu = jnp.abs(pk.vz)
-        imu = jnp.clip((mu * n_mu).astype(jnp.int32), 0,
-                       n_mu - 1)
-        ilam_glob = jnp.clip(jnp.searchsorted(lam_grid, pk.lam) - 1,
-                             0, nlam - 1)
-        collector = tl.collector.reshape(-1).at[imu * nlam + ilam_glob].add(
-            jnp.where(escaped, pk.en, 0.0)).reshape(tl.collector.shape)
-
-        # image-plane (r, phi) sub-bins (reference collect_photon_do,
-        # montecarlo.f90:1960-2043): displacement orthogonal to the ray,
-        # resolved in a local frame with the ray as z axis
-        n_r, n_phi = tl.collector_img.shape[1], tl.collector_img.shape[2]
-        dotp = nx * pk.vx + ny * pk.vy + nz * pk.vz
-        rox = nx - dotp * pk.vx
-        roy = ny - dotp * pk.vy
-        roz = nz - dotp * pk.vz
-        # ux = normalize(z_hat x v), uy = v x ux; x-axis fallback when
-        # the ray is (anti)parallel to z
-        degen = jnp.abs(pk.vz) >= 0.99
-        uxn = jnp.sqrt(jnp.maximum(pk.vx ** 2 + pk.vy ** 2, 1e-30))
-        ux_x = jnp.where(degen, 1.0, -pk.vy / uxn)
-        ux_y = jnp.where(degen, 0.0, pk.vx / uxn)
-        ux_z = jnp.zeros_like(ux_x)
-        uy_x = jnp.where(degen, 0.0, pk.vy * ux_z - pk.vz * ux_y)
-        uy_y = jnp.where(degen, 1.0, pk.vz * ux_x - pk.vx * ux_z)
-        uy_z = jnp.where(degen, 0.0, pk.vx * ux_y - pk.vy * ux_x)
-        r_o_x = rox * ux_x + roy * ux_y + roz * ux_z
-        r_o_y = rox * uy_x + roy * uy_y + roz * uy_z
-        r_img = jnp.sqrt(r_o_x ** 2 + r_o_y ** 2)
-        phi_img = jnp.arctan2(r_o_y, r_o_x)
-        r0 = gi.rmin_dom * 0.3
-        ir = jnp.clip((jnp.log(jnp.maximum(r_img, 1e-30) / r0)
-                       / jnp.log(gi.rmax_dom / r0)
-                       * (n_r - 1)).astype(jnp.int32) + 1, 0, n_r - 1)
-        ir = jnp.where(r_img < r0, 0, ir)
-        iphi = jnp.clip(((phi_img + jnp.pi) / (2 * jnp.pi)
-                         * n_phi).astype(jnp.int32), 0, n_phi - 1)
-        flat_img = ((imu * n_r + ir) * n_phi + iphi) * nlam + ilam_glob
-        collector_img = tl.collector_img.reshape(-1).at[flat_img].add(
-            jnp.where(escaped, pk.en, 0.0)).reshape(tl.collector_img.shape)
+            jnp.where(crossed & ~escaped, 1.0, 0.0))
 
         # new tau on encounter
-        u_tau = jax.random.uniform(k_tau, (B,), F, 1e-12, 1.0)
         new_tau = jnp.where(enc, -jnp.log(u_tau), pk.tau - tau_this)
         new_tau = jnp.where(crossed, pk.tau - tau_this, new_tau)
         new_tau = jnp.maximum(new_tau, 0.0)
@@ -516,29 +533,29 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         # Sample the first-passage path length from the precomputed
         # inverse CDF, tally en*path per cell (lambda deposit deferred to
         # pass end), exit on the inscribed sphere moving outward, with a
-        # fresh thermal wavelength from the dominant emitting component.
+        # fresh thermal wavelength from the dominant emitting component
+        # (gathered above through the shared reemission index).
         if use_mrw:
-            u_m = jax.random.uniform(k_m1, (B,), F)
-            lnx = mrw_lnx[jnp.clip((u_m * n_mrw).astype(jnp.int32),
+            lnx = mrw_lnx[jnp.clip((u[5] * n_mrw).astype(jnp.int32),
                                    0, n_mrw - 1)]
             R0cm = R0 * jnp.asarray(c.AU2cm, F)
             pi2 = jnp.asarray(jnp.pi ** 2, F)
             L_cm = jnp.maximum(
-                -3.0 * R0cm * R0cm * mrw_inv_mfp[cell] * lnx / pi2, R0cm)
+                -3.0 * R0cm * R0cm * crow[:, L["mrw_inv_mfp"]] * lnx / pi2,
+                R0cm)
             mrw_path = tl.mrw_path.at[cell].add(
                 jnp.where(mrw, L_cm / jnp.asarray(c.AU2cm, F) * pk.en, 0.0))
-            mx, my, mz = _unit_sphere_dir(k_m2, B)
+            mw = 2.0 * u[6] - 1.0
+            mphi = 2.0 * jnp.pi * u[8]
+            ms = jnp.sqrt(jnp.maximum(1.0 - mw * mw, 0.0))
+            mx = ms * jnp.cos(mphi)
+            my = ms * jnp.sin(mphi)
+            mz = mw
             xm = pk.x + R0 * mx
             ym = pk.y + R0 * my
             zm = pk.z + R0 * mz
-            idm = mrw_idom[cell]
-            Tdm = cells.Tdust[idm, cell]
-            itdm = jnp.clip(jnp.searchsorted(lut_Tds, Tdm), 0, nT - 1)
-            iqm = jnp.clip((jax.random.uniform(k_m3, (B,), F)
-                            * n_quantile).astype(jnp.int32),
-                           0, n_quantile - 1)
-            lam_m = lam_grid[reemit_q[idm, itdm, iqm]]
-            tau_m = -jnp.log(jax.random.uniform(k_m4, (B,), F, 1e-12, 1.0))
+            lam_m = lam_re
+            tau_m = -jnp.log(jnp.maximum(u[9], 1e-12))
         else:
             mrw_path = tl.mrw_path
 
@@ -564,9 +581,10 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
             e_count=e_count + mrw.astype(pk.e_count.dtype))
         tl2 = McTallies(flux=flux, phc=phc, dir_flux=dir_flux,
                         en_gain=en_gain,
-                        en_gain_abso=en_gain_abso, ab_en_water=ab_en_water,
-                        cr_count=cr_count, collector=collector,
-                        collector_img=collector_img,
+                        en_gain_abso=en_gain_abso,
+                        ab_en_water=tl.ab_en_water,
+                        cr_count=cr_count, collector=tl.collector,
+                        collector_img=tl.collector_img,
                         mrw_path=mrw_path)
         return (step + 1, key, pk2, tl2)
 
@@ -575,14 +593,89 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         cond, body, (step0, key, packets, tallies))
 
     # --- fold the MRW path tally into the lambda-resolved flux and the
-    # absorbed-energy tallies.  Inside the diffusion sphere J_lambda is
-    # the local blackbody, so the per-bin deposit weights are
+    # absorbed-energy tallies; collect terminal per-packet tallies
+    # (escape collector, water absorption).  Inside the diffusion sphere
+    # J_lambda is the local blackbody, so the per-bin deposit weights are
     # B_lambda(Tbar) dlam (IR bins only) and the absorbed energy per
     # dust component is en*path * rho_i kappa_P,i.
-    if use_mrw and finalize:
-        tallies = _mrw_fold_tallies(tallies, rho_kapP, cells, lam_grid,
-                                    mrw_lam_min)
+    if finalize:
+        if use_mrw:
+            tallies = _mrw_fold_tallies(tallies, rho_kapP, cells,
+                                        lam_grid, mrw_lam_min)
+        tallies = _fold_terminal(model, packets, tallies, n_mu)
     return key_out, packets, tallies
+
+
+def _fold_terminal(model: McModel, packets: Packets, tallies: McTallies,
+                   n_mu: int):
+    """Once-per-packet terminal tallies, evaluated OUTSIDE the walk loop
+    on the frozen terminated lanes: the escape collector (mu x lambda
+    SED bins + image-plane r/phi sub-bins; reference collect_photon_do,
+    montecarlo.f90:1960-2043) and the water-absorption deposit.
+
+    Valid because a terminated lane's (x, v, lam, en, cell) freeze at
+    its terminal step: every masked update in the walk body requires
+    ST_ACTIVE."""
+    pk = packets
+    gi = model.gi
+    seg = model.tab.lam_seg
+    nlam = tallies.collector.shape[1]
+    escaped = pk.status == ST_ESCAPED
+
+    mu = jnp.abs(pk.vz)
+    imu = jnp.clip((mu * n_mu).astype(jnp.int32), 0, n_mu - 1)
+    ilam_glob = jnp.clip(optics.lam_to_bin(seg, pk.lam), 0, nlam - 1)
+    collector = tallies.collector.reshape(-1).at[
+        imu * nlam + ilam_glob].add(
+        jnp.where(escaped, pk.en, 0.0)).reshape(tallies.collector.shape)
+
+    # image-plane (r, phi) sub-bins: displacement orthogonal to the ray,
+    # resolved in a local frame with the ray as z axis
+    n_r, n_phi = tallies.collector_img.shape[1], \
+        tallies.collector_img.shape[2]
+    dotp = pk.x * pk.vx + pk.y * pk.vy + pk.z * pk.vz
+    rox = pk.x - dotp * pk.vx
+    roy = pk.y - dotp * pk.vy
+    roz = pk.z - dotp * pk.vz
+    # ux = normalize(z_hat x v), uy = v x ux; x-axis fallback when
+    # the ray is (anti)parallel to z
+    degen = jnp.abs(pk.vz) >= 0.99
+    uxn = jnp.sqrt(jnp.maximum(pk.vx ** 2 + pk.vy ** 2, 1e-30))
+    ux_x = jnp.where(degen, 1.0, -pk.vy / uxn)
+    ux_y = jnp.where(degen, 0.0, pk.vx / uxn)
+    ux_z = jnp.zeros_like(ux_x)
+    uy_x = jnp.where(degen, 0.0, pk.vy * ux_z - pk.vz * ux_y)
+    uy_y = jnp.where(degen, 1.0, pk.vz * ux_x - pk.vx * ux_z)
+    uy_z = jnp.where(degen, 0.0, pk.vx * ux_y - pk.vy * ux_x)
+    r_o_x = rox * ux_x + roy * ux_y + roz * ux_z
+    r_o_y = rox * uy_x + roy * uy_y + roz * uy_z
+    r_img = jnp.sqrt(r_o_x ** 2 + r_o_y ** 2)
+    phi_img = jnp.arctan2(r_o_y, r_o_x)
+    r0 = gi.rmin_dom * 0.3
+    ir = jnp.clip((jnp.log(jnp.maximum(r_img, 1e-30) / r0)
+                   / jnp.log(gi.rmax_dom / r0)
+                   * (n_r - 1)).astype(jnp.int32) + 1, 0, n_r - 1)
+    ir = jnp.where(r_img < r0, 0, ir)
+    iphi = jnp.clip(((phi_img + jnp.pi) / (2 * jnp.pi)
+                     * n_phi).astype(jnp.int32), 0, n_phi - 1)
+    flat_img = ((imu * n_r + ir) * n_phi + iphi) * nlam + ilam_glob
+    collector_img = tallies.collector_img.reshape(-1).at[flat_img].add(
+        jnp.where(escaped, pk.en, 0.0)).reshape(
+        tallies.collector_img.shape)
+
+    # water-absorption deposits (terminal: the packet is destroyed)
+    watered = pk.status == ST_DESTR_WATER
+    n_cells = tallies.ab_en_water.shape[0]
+    ab_en_water = tallies.ab_en_water.at[
+        jnp.clip(pk.cell, 0, n_cells - 1)].add(
+        jnp.where(watered, pk.en, 0.0))
+    return tallies._replace(collector=collector,
+                            collector_img=collector_img,
+                            ab_en_water=ab_en_water)
+
+
+fold_terminal_tallies = jax.jit(_fold_terminal, static_argnums=(3,),
+                                donate_argnums=(2,))
 
 
 def _mrw_fold_tallies(tallies, rho_kapP, cells, lam_grid, mrw_lam_min):
@@ -598,10 +691,14 @@ def _mrw_fold_tallies(tallies, rho_kapP, cells, lam_grid, mrw_lam_min):
     Bm = planck.B_lambda(Tbar[:, None], lam_cm_mid[None, :])
     w = jnp.where(ir[None, :], Bm * dlam[None, :], 0.0)
     w = w / jnp.maximum(w.sum(1, keepdims=True), 1e-30)
+    # mrw_path is CONSUMED by the fold (zeroed): tallies accumulate
+    # across ladder slices, and a later slice's fold must not re-deposit
+    # an earlier slice's already-folded path
     return tallies._replace(
         flux=tallies.flux + mp[:, None] * w,
         en_gain=tallies.en_gain
-        + mp[None, :] * jnp.asarray(c.AU2cm, F) * rho_kapP)
+        + mp[None, :] * jnp.asarray(c.AU2cm, F) * rho_kapP,
+        mrw_path=jnp.zeros_like(mp))
 
 
 @partial(jax.jit, static_argnames=("mrw_lam_min",), donate_argnums=(1,))
@@ -615,8 +712,7 @@ def _mc_mrw_finalize(model: McModel, tallies: McTallies,
     lut_Tds = jnp.asarray(tab.lut_Tds, F)
     Tdust = jnp.asarray(cells.Tdust, F)
     rho_dust = jnp.asarray(cells.rho_dust, F)
-    itd = jnp.clip(jax.vmap(lambda Tdi: jnp.searchsorted(lut_Tds, Tdi))(
-        Tdust), 0, lut_Tds.shape[0] - 1)
+    itd = optics.tdust_bin(lut_Tds, Tdust)
     rho_kapP = jnp.take_along_axis(jnp.asarray(tab.kap_P, F), itd,
                                    axis=1) * rho_dust
     cells_f = cells._replace(Tdust=Tdust)
@@ -627,7 +723,8 @@ def _mc_mrw_finalize(model: McModel, tallies: McTallies,
 def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
             max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
             nmax_encounter: int = 50_000, use_mrw: bool = True,
-            mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4):
+            mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4,
+            save_dir: bool = False):
     """Run one batch of packets to completion as a single device program;
     returns (packets, tallies).  On hardware with a device-program
     watchdog prefer mc_pass_hosted."""
@@ -635,12 +732,14 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
         model, key, packets, tallies, max_steps=max_steps,
         n_quantile=n_quantile, n_mu=n_mu, nmax_encounter=nmax_encounter,
         use_mrw=use_mrw, mrw_gamma=mrw_gamma, mrw_lam_min=mrw_lam_min,
-        finalize=True)
+        finalize=True, save_dir=save_dir)
     return packets, tallies
 
 
-_FATE_NAMES = {ST_ESCAPED: "escaped", ST_DESTRUCTED: "destructed",
-               ST_PREMATURE: "premature", ST_ACTIVE: "active"}
+_FATE_GROUPS = {"escaped": (ST_ESCAPED,),
+                "destructed": (ST_DESTRUCTED, ST_DESTR_WATER),
+                "premature": (ST_PREMATURE,),
+                "active": (ST_ACTIVE,)}
 
 
 def _compact_packets(packets: Packets, status: np.ndarray, tier: int):
@@ -649,10 +748,9 @@ def _compact_packets(packets: Packets, status: np.ndarray, tier: int):
     tally/update in the walk body is masked on ST_ACTIVE).  Returns the
     new batch and the fate counts of the dropped terminated lanes."""
     act = np.nonzero(status == ST_ACTIVE)[0]
-    done_mask = (status != ST_ACTIVE) & (status != ST_PADDING)
-    dropped = {name: int((status[done_mask] == code).sum())
-               for code, name in _FATE_NAMES.items()
-               if code != ST_ACTIVE}
+    dropped = {name: int(np.isin(status, codes).sum())
+               for name, codes in _FATE_GROUPS.items()
+               if name != "active"}
     idx = np.concatenate(
         [act, np.zeros(tier - len(act), dtype=np.int64)])
     pk = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), packets)
@@ -664,8 +762,8 @@ def _compact_packets(packets: Packets, status: np.ndarray, tier: int):
 def packet_fates(status) -> dict:
     """Fate counts of a packet batch, ignoring compaction padding."""
     st = np.asarray(status)
-    return {name: int((st == code).sum())
-            for code, name in _FATE_NAMES.items()}
+    return {name: int(np.isin(st, codes).sum())
+            for name, codes in _FATE_GROUPS.items()}
 
 
 def mc_pass_hosted(model: McModel, key, packets: Packets,
@@ -674,7 +772,8 @@ def mc_pass_hosted(model: McModel, key, packets: Packets,
                    n_mu: int = 5, nmax_encounter: int = 50_000,
                    use_mrw: bool = True, mrw_gamma: float = 4.0,
                    mrw_lam_min: float = 1e4, progress_cb=None,
-                   compact: bool = False, compact_floor: int = 1024):
+                   compact: bool = False, compact_floor: int = 1024,
+                   save_dir: bool = False):
     """mc_pass as a host loop over BOUNDED device programs.
 
     A single whole-walk while_loop runs for minutes at production packet
@@ -690,20 +789,23 @@ def mc_pass_hosted(model: McModel, key, packets: Packets,
     (tier ladder B0/8^k, floor 1024) once most packets have terminated —
     the lock-step walk otherwise spends the long tail of the pass
     processing dead lanes.  Statistically identical, not bit-identical
-    (the RNG per-lane assignment changes with the batch shape).  Returns
-    (packets, tallies, fates); fates aggregates dropped lanes across
-    compactions."""
-    fates = {v: 0 for v in _FATE_NAMES.values()}
+    (the RNG per-lane assignment changes with the batch shape).
+
+    Always returns (packets, tallies, fates); fates aggregates dropped
+    lanes across compactions plus the final batch."""
+    fates = {name: 0 for name in _FATE_GROUPS}
     done = 0
     while done < max_steps:
         # constant chunk sizes: one compiled program per tier shape
+        # (clamped on the final chunk so the step cap is exact)
+        chunk = min(steps_per_call, max_steps - done)
         key, packets, tallies = _mc_walk(
-            model, key, packets, tallies, max_steps=steps_per_call,
+            model, key, packets, tallies, max_steps=chunk,
             n_quantile=n_quantile, n_mu=n_mu,
             nmax_encounter=nmax_encounter, use_mrw=use_mrw,
             mrw_gamma=mrw_gamma, mrw_lam_min=mrw_lam_min,
-            finalize=False)
-        done += steps_per_call
+            finalize=False, save_dir=save_dir)
+        done += chunk
         status = np.asarray(packets.status)
         n_active = int((status == ST_ACTIVE).sum())
         if progress_cb is not None:
@@ -715,18 +817,22 @@ def mc_pass_hosted(model: McModel, key, packets: Packets,
             while tier // 8 >= max(2 * n_active, compact_floor):
                 tier //= 8
             if tier < status.shape[0]:
+                # terminal tallies (collector/water) of the lanes about
+                # to be dropped — every terminated lane leaves the batch
+                # here, so each is folded exactly once
+                tallies = fold_terminal_tallies(model, packets, tallies,
+                                                n_mu)
                 packets, dropped = _compact_packets(packets, status, tier)
                 for k2, v in dropped.items():
                     fates[k2] += v
     if use_mrw:
         tallies = _mc_mrw_finalize(model, tallies,
                                    mrw_lam_min=mrw_lam_min)
+    tallies = fold_terminal_tallies(model, packets, tallies, n_mu)
     final = packet_fates(packets.status)
     for k2 in fates:
         fates[k2] += final.get(k2, 0)
-    if compact:
-        return packets, tallies, fates
-    return packets, tallies
+    return packets, tallies, fates
 
 
 def launch_packets(model: McModel, key, lam, en, minw, maxw):
@@ -748,6 +854,9 @@ def launch_packets(model: McModel, key, lam, en, minw, maxw):
     z = z + vz * (length + eps)
     cell = geometry.locate(gi, x * x + y * y, jnp.abs(z))
     status = jnp.where(found & (cell >= 0), ST_ACTIVE, ST_ESCAPED)
+    # zero-energy lanes are alignment filler (device-count / slice
+    # padding): exclude them from transport and fate counts entirely
+    status = jnp.where(jnp.asarray(en) > 0.0, status, ST_PADDING)
     ktau, key = jax.random.split(key)
     tau = -jnp.log(jax.random.uniform(ktau, (B,), F, 1e-12, 1.0))
     return Packets(x=x, y=y, z=z, vx=vx, vy=vy, vz=vz,

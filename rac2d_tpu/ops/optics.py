@@ -60,6 +60,18 @@ class McConfig:
     use_mrw: bool = True
     mrw_gamma: float = 4.0       # require R0 > gamma * transport mfp
     mrw_lam_min: float = 1e4     # only thermalized (IR) packets, angstrom
+    # walk iterations per bounded device program (mc_pass_hosted): each
+    # chunk must finish well inside the TPU device watchdog
+    steps_per_call: int = 256
+    # direction-weighted flux tally (reference SAVE_PHOTON_FIELD_DIR
+    # compile flag, data_struct.f90:114-116): off by default — it costs
+    # one extra multi-column scatter per walk step and nothing in the
+    # production pipeline consumes it
+    save_dir_flux: bool = False
+    # cap on simultaneously-transported packets: bigger ladders are
+    # walked in slices of this size re-using one compiled program
+    # (bounded memory + bounded device-program runtime on TPU)
+    max_batch: int = 262_144
 
 
 class McTables(NamedTuple):
@@ -87,6 +99,7 @@ class McTables(NamedTuple):
     mrw_lnx: np.ndarray      # [n_mrw] inverse CDF of the first-passage
     #                          time: uniform u -> ln(y), path length
     #                          = -3 R0^2/(pi^2 mfp) * ln(y)
+    lam_seg: object = None   # LamSeg closed-form lambda->bin descriptor
 
 
 def lam_to_keV(lam_A):
@@ -119,24 +132,140 @@ def lya_sigma(lam_A, T):
     return coeff * jnp.maximum(voigt(x, a), 0.0)
 
 
+class LamSeg(NamedTuple):
+    """Closed-form lambda -> bin-index descriptor for the SEGMENTED
+    master grid (see master_lam_grid): three log-uniform segments
+    (X-ray / mid / high) plus the +-logspace Lyman-alpha ladder.
+
+    Replaces per-step ``searchsorted`` in the MC walk: on TPU a
+    vectorized binary search is ~10 dependent gathers (~3-10 ms per
+    batch), while this is pure elementwise arithmetic.  Sub-ULP
+    boundary semantics differ from searchsorted (a lambda exactly on a
+    bin edge may land one bin over) — physically irrelevant on a smooth
+    grid.
+    """
+    log0: np.ndarray     # [3] ln(first lambda) of xray/mid/high segments
+    inv_d: np.ndarray    # [3] 1/dlnlam
+    i0: np.ndarray       # [3] global index of each segment start
+    n: np.ndarray        # [3] points per segment
+    b_mid: float         # first lambda of the mid segment
+    b_lya: float         # first lambda of the Lya ladder
+    b_high: float        # first lambda of the high segment
+    lya_i0: int          # global index of the first Lya point
+    lya_n2: int          # points per Lya side
+    lya_a: float         # log10(x_min) of the ladder
+    lya_inv_d: float     # 1/dlog10(x)
+    lya_K: float         # |dx/dlam| at line center, 1/angstrom
+    lam0: float          # Lya line center, angstrom
+
+
+def lam_to_bin(seg: LamSeg, lam, xp=None):
+    """Bin index i such that lam_grid[i] <= lam < lam_grid[i+1]
+    (clipped at the ends), in closed form.  Works for jnp or np."""
+    if xp is None:
+        import jax.numpy as xp
+    lam = xp.asarray(lam)
+    ll = xp.log(xp.maximum(lam, 1e-30))
+
+    def lu(k):
+        j = xp.floor((ll - seg.log0[k]) * seg.inv_d[k]).astype(xp.int32)
+        return seg.i0[k] + xp.clip(j, 0, seg.n[k] - 1)
+
+    i = lu(0)
+    i = xp.where(lam >= seg.b_mid, lu(1), i)
+    # Lyman-alpha ladder: x = |nu-nu0|/dnu_th = 10^(a + m/inv_d).
+    # dx from the wavelength difference (f32-stable near the core:
+    # lam0 - lam is an exact-ish f32 subtraction; the nu-space
+    # subtraction would lose all precision to cancellation).
+    dl = seg.lam0 - lam
+    adx = xp.abs(dl) * seg.lya_K * (seg.lam0 / lam)
+    t = (xp.log10(xp.maximum(adx, 1e-30)) - seg.lya_a) * seg.lya_inv_d
+    m_pos = xp.clip(xp.ceil(t), 0, seg.lya_n2 - 1).astype(xp.int32)
+    k_pos = seg.lya_n2 - 1 - m_pos
+    m_neg = xp.clip(xp.floor(t), 0, seg.lya_n2 - 1).astype(xp.int32)
+    x_min = 10.0 ** seg.lya_a
+    k_neg = xp.where(adx < x_min,
+                     xp.asarray(seg.lya_n2 - 1, dtype=xp.int32),
+                     seg.lya_n2 + m_neg)
+    i_lya = seg.lya_i0 + xp.where(dl > 0, k_pos, k_neg).astype(xp.int32)
+    i = xp.where(lam >= seg.b_lya, i_lya, i)
+    i = xp.where(lam >= seg.b_high, lu(2), i)
+    return i
+
+
+def tdust_bin(lut_Tds, Td, xp=None):
+    """searchsorted(lut_Tds, Td) in closed form: the Tdust LUT grid is
+    log-uniform by construction (build_tables)."""
+    if xp is None:
+        import jax.numpy as xp
+    nT = lut_Tds.shape[0]
+    T0 = lut_Tds[0]
+    dln = (xp.log(lut_Tds[-1]) - xp.log(T0)) / (nT - 1)
+    t = (xp.log(xp.maximum(Td, 1e-30)) - xp.log(T0)) / dln
+    return xp.clip(xp.ceil(t), 0, nT - 1).astype(xp.int32)
+
+
 def master_lam_grid(dusts: list[DustMixture], cfg: McConfig,
                     T_lya_profile=1000.0):
-    """Union wavelength grid: X-ray + dust + fine Lyman-alpha channels."""
+    """SEGMENTED master wavelength grid: X-ray logspace | mid logspace |
+    fine Lyman-alpha channels | high logspace.
+
+    The reference builds a union grid of the dust table + X-ray + Lya
+    points (montecarlo.f90 align_optical_data); a union grid forces a
+    binary search per packet step.  Here the dust-table regions are
+    RESAMPLED onto log-uniform segments at >= the dust table's own
+    resolution, making lambda -> bin a closed-form computation
+    (lam_to_bin) — the searchsorted disappears from the walk entirely.
+    Returns (lam, LamSeg).
+    """
     lam_d = dusts[0].lam
-    # X-ray grid
+    # X-ray segment
     xr0 = c.lam_range_Xray[0] / c.Angstrom2micron
     xr1 = c.lam_range_Xray[1] / c.Angstrom2micron
     lam_x = np.logspace(np.log10(xr0), np.log10(xr1), cfg.nlam_xray)
-    # Lyman-alpha fine channels, +-2000 thermal widths like the reference
+    # Lyman-alpha ladder, +-2000 thermal widths like the reference
     dnu_th = c.LyAlpha_nu0 * np.sqrt(
         8.0 * c.kBoltzmann_SI * T_lya_profile / np.pi / 1.67262158e-27) \
         / 299792458.0
     n2 = cfg.n_channel_Lya // 2
-    x = np.logspace(-3, np.log10(2e3), n2)
+    lya_a = -3.0
+    lya_hi = np.log10(2e3)
+    x = np.logspace(lya_a, lya_hi, n2)
     nus = c.LyAlpha_nu0 + np.concatenate([-x[::-1], x]) * dnu_th
-    lam_lya = 299792458.0 / nus * 1e10
-    lam = np.unique(np.concatenate([lam_x, lam_d, np.sort(lam_lya)]))
-    return lam
+    lam_lya = np.sort(299792458.0 / nus * 1e10)
+    lam0 = 299792458.0 / c.LyAlpha_nu0 * 1e10
+
+    # mid / high segments: log-uniform at >= dust-table resolution
+    dens_d = (len(lam_d) - 1) / np.log10(lam_d[-1] / lam_d[0])
+    dens = max(dens_d, 40.0)
+    lam_max = max(lam_d[-1], 1.0001 * lam_lya[-1])
+    b_mid = xr1 * 1.0005
+    b_high = lam_lya[-1] * 1.0005
+    n_mid = max(int(np.ceil(np.log10(lam_lya[0] / b_mid) * dens)), 8)
+    n_high = max(int(np.ceil(np.log10(lam_max / b_high) * dens)), 8)
+    # endpoint=False: the next segment's first point closes the last bin
+    lam_m = np.logspace(np.log10(b_mid), np.log10(lam_lya[0]), n_mid,
+                        endpoint=False)
+    lam_h = np.logspace(np.log10(b_high), np.log10(lam_max), n_high)
+
+    lam = np.concatenate([lam_x, lam_m, lam_lya, lam_h])
+    assert np.all(np.diff(lam) > 0), "master grid must be ascending"
+    seg = LamSeg(
+        log0=np.log(np.array([lam_x[0], lam_m[0], lam_h[0]])),
+        inv_d=np.array([
+            (cfg.nlam_xray - 1) / np.log(lam_x[-1] / lam_x[0]),
+            n_mid / np.log(lam_lya[0] / lam_m[0]),
+            (n_high - 1) / np.log(lam_h[-1] / lam_h[0]),
+        ]),
+        i0=np.array([0, cfg.nlam_xray, cfg.nlam_xray + n_mid + 2 * n2],
+                    dtype=np.int32),
+        n=np.array([cfg.nlam_xray, n_mid, n_high], dtype=np.int32),
+        b_mid=lam_m[0], b_lya=lam_lya[0], b_high=lam_h[0],
+        lya_i0=cfg.nlam_xray + n_mid, lya_n2=n2, lya_a=lya_a,
+        lya_inv_d=(n2 - 1) / (lya_hi - lya_a),
+        lya_K=float(c.LyAlpha_nu0 / (dnu_th * lam0)),
+        lam0=lam0)
+    return lam, seg
 
 
 def mrw_lnx_table(n: int = 256, n_terms: int = 64):
@@ -169,7 +298,7 @@ def mrw_lnx_table(n: int = 256, n_terms: int = 64):
 def build_tables(dusts: list[DustMixture], cfg: McConfig,
                  h2o_lam=None, h2o_sigma=None) -> McTables:
     from ..io import bethell
-    lam = master_lam_grid(dusts, cfg)
+    lam, lam_seg = master_lam_grid(dusts, cfg)
     nlam = len(lam)
     n_dust = len(dusts)
     E = lam_to_keV(lam)
@@ -268,7 +397,8 @@ def build_tables(dusts: list[DustMixture], cfg: McConfig,
         sigma_h2o=sigma_h2o, lut_Tds=Tds, lut_vals=lut_vals,
         reemit_q=reemit_q,
         pmass=np.array([d.pmass for d in dusts]),
-        kap_P=kap_P, kap_trR=kap_trR, mrw_lnx=mrw_lnx_table())
+        kap_P=kap_P, kap_trR=kap_trR, mrw_lnx=mrw_lnx_table(),
+        lam_seg=lam_seg)
 
 
 def tdust_from_energy(tab: McTables, idust: int, val):

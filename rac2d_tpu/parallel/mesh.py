@@ -70,16 +70,26 @@ def sharded_chemistry_solve(mesh: Mesh, ode, envs, tenvs, y0b, T0b, touts,
 
 
 def mc_pass_sharded(mesh: Mesh, model, key, packets, tallies,
-                    hosted: bool = False, **kw):
+                    hosted: bool = True, **kw):
     """MC with packets sharded over every device; per-cell tallies are
     partial per shard and all-reduced at the end (psum via jnp.sum over
     the sharded axis is handled by XLA when we re-shard to replicated).
 
-    hosted=True drives the walk as bounded device programs
+    hosted=True (the default) drives the walk as bounded device programs
     (mcrt.mc_pass_hosted); the shardings persist across host-loop calls.
-    Required on real multi-chip TPU (device-program watchdog — same
-    constraint as the single-chip path)."""
+    Required on real TPU, single- or multi-chip (device-program
+    watchdog).  hosted=False runs one whole-pass program (CPU tests).
+
+    compact is rejected: _compact_packets rebuilds the batch host-side
+    with default placement, which would silently unshard the packet axis
+    (and break device-count divisibility).
+
+    Always returns (packets, tallies, fates)."""
     from ..ops import mcrt
+    if kw.pop("compact", False):
+        raise ValueError("mc_pass_sharded does not support compact=True; "
+                         "the host-side batch rebuild would unshard the "
+                         "packet axis")
     flat = Mesh(mesh.devices.reshape(-1), axis_names=("d",))
     shp = NamedSharding(flat, P("d"))
     rep = NamedSharding(flat, P())
@@ -90,7 +100,8 @@ def mc_pass_sharded(mesh: Mesh, model, key, packets, tallies,
     # XLA all-reduces automatically under jit
     if hosted:
         return mcrt.mc_pass_hosted(model, key, packets, tallies, **kw)
-    return mcrt.mc_pass(model, key, packets, tallies, **kw)
+    packets, tallies = mcrt.mc_pass(model, key, packets, tallies, **kw)
+    return packets, tallies, mcrt.packet_fates(packets.status)
 
 
 def init_distributed(coordinator=None, num_processes=None, process_id=None):

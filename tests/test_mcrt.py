@@ -156,7 +156,7 @@ def test_mc_pass_hosted_matches_single_program():
                               jnp.asarray(en), 0.0, 1.0)
     tall1 = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
     chunks = []
-    pk_b, tl_b = mcrt.mc_pass_hosted(
+    pk_b, tl_b, _ = mcrt.mc_pass_hosted(
         model, key, pk1, tall1, use_mrw=True, steps_per_call=37,
         max_steps=40_000,
         progress_cb=lambda done, act: chunks.append((done, act)))

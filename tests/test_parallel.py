@@ -88,8 +88,8 @@ def test_sharded_mc_matches_single():
     pk1 = mcrt.launch_packets(model, key, jnp.asarray(lam),
                               jnp.asarray(en), 0.0, 1.0)
     tall1 = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
-    _, t_shard = meshmod.mc_pass_sharded(mesh, model, key, pk1, tall1,
-                                         use_mrw=False)
+    _, t_shard, _ = meshmod.mc_pass_sharded(
+        mesh, model, key, pk1, tall1, hosted=False, use_mrw=False)
 
     # identical PRNG key -> identical physics; scatter-add order may
     # differ across shards (f32 rounding)
@@ -119,8 +119,8 @@ def test_sharded_mc_partial_tallies_reduce():
     pk = mcrt.launch_packets(model, key, jnp.asarray(lam),
                              jnp.asarray(en), 0.0, 1.0)
     tall = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
-    _, t_all = meshmod.mc_pass_sharded(mesh, model, key, pk, tall,
-                                       use_mrw=False)
+    _, t_all, _ = meshmod.mc_pass_sharded(
+        mesh, model, key, pk, tall, hosted=False, use_mrw=False)
 
     # half the packets carry zero energy -> exactly half the tally
     en_half = en.copy()
@@ -128,8 +128,8 @@ def test_sharded_mc_partial_tallies_reduce():
     pk2 = mcrt.launch_packets(model, key, jnp.asarray(lam),
                               jnp.asarray(en_half), 0.0, 1.0)
     tall2 = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
-    _, t_half = meshmod.mc_pass_sharded(mesh, model, key, pk2, tall2,
-                                        use_mrw=False)
+    _, t_half, _ = meshmod.mc_pass_sharded(
+        mesh, model, key, pk2, tall2, hosted=False, use_mrw=False)
     r = float(np.asarray(t_half.en_gain).sum()
               / np.asarray(t_all.en_gain).sum())
     assert 0.3 < r < 0.7
@@ -156,7 +156,7 @@ def test_sharded_mc_hosted_matches_single():
     pk1 = mcrt.launch_packets(model, key, jnp.asarray(lam),
                               jnp.asarray(en), 0.0, 1.0)
     tall1 = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
-    _, t_shard = meshmod.mc_pass_sharded(
+    _, t_shard, _ = meshmod.mc_pass_sharded(
         mesh, model, key, pk1, tall1, hosted=True, steps_per_call=128,
         use_mrw=False)
 
