@@ -108,7 +108,8 @@ def time_mc_pass(m, nph, n_timed=1, seed=0):
     kw = dict(n_quantile=m.mc_cfg.n_quantile,
               nmax_encounter=m.mc_cfg.nmax_encounter,
               use_mrw=m.mc_cfg.use_mrw, mrw_gamma=m.mc_cfg.mrw_gamma,
-              mrw_lam_min=m.mc_cfg.mrw_lam_min)
+              mrw_lam_min=m.mc_cfg.mrw_lam_min,
+              save_counts=m.mc_cfg.save_counts or m.mc_cfg.do_fill_blank)
 
     def one_pass(ip):
         cells = m.mc_cells()

@@ -446,7 +446,9 @@ class DiskModel:
                 use_mrw=self.mc_cfg.use_mrw,
                 mrw_gamma=self.mc_cfg.mrw_gamma,
                 mrw_lam_min=self.mc_cfg.mrw_lam_min,
-                save_dir=self.mc_cfg.save_dir_flux)
+                save_dir=self.mc_cfg.save_dir_flux,
+                save_counts=(self.mc_cfg.save_counts
+                             or self.mc_cfg.do_fill_blank))
             fates = {}
             for isl in range(n_slices):
                 ksl = jax.random.fold_in(key, isl)

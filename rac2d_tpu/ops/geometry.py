@@ -134,6 +134,14 @@ class GridIndex(NamedTuple):
     r_lut: jnp.ndarray = None   # [n_lut] int32: column of each slot edge
     r_lut_log0: float = 0.0     # ln(r_edges[0])
     r_lut_inv_d: float = 1.0    # n_lut / ln(r_max/r_min)
+    # packed variants for the MC walk loop body, where every B-indexed
+    # gather costs ~the same whether it reads 1 or 60 columns (latency/
+    # transaction bound): locate needs only TWO row gathers —
+    #   r_lut_pack[slot]  -> (ic0, r_edges[ic0], r_edges[ic0+1])
+    #   zc_pack[ic]       -> (z_edges row .. cell_of row as f32)
+    # instead of five separate indexed reads.  None -> unpacked path.
+    r_lut_pack: jnp.ndarray = None   # [n_lut, 3] f32
+    zc_pack: jnp.ndarray = None      # [n_col, 2*max_nz + 1] f32
 
 
 def build_grid_index(grid) -> GridIndex:
@@ -167,13 +175,24 @@ def build_grid_index(grid) -> GridIndex:
                                         side="right") - 1, 0, ncol - 1)
         log0 = float(ln_r[0])
         inv_d = float(n_lut / span)
+    r_lut_pack = None
+    if r_lut is not None:
+        r_lut_pack = np.stack(
+            [r_lut.astype(np.float32),
+             r_edges[r_lut].astype(np.float32),
+             r_edges[np.minimum(r_lut + 1, ncol)].astype(np.float32)],
+            axis=1)
+    zc_pack = np.concatenate(
+        [z_edges.astype(np.float32), cell_of.astype(np.float32)], axis=1)
     return GridIndex(
         r_edges=jnp.asarray(r_edges), z_edges=jnp.asarray(z_edges),
         cell_of=jnp.asarray(cell_of), n_z=jnp.asarray(nz, dtype=jnp.int32),
         zmax_dom=float(grid.zmax.max()), rmin_dom=float(r_edges[0]),
         rmax_dom=float(r_edges[-1]),
         r_lut=None if r_lut is None else jnp.asarray(r_lut, jnp.int32),
-        r_lut_log0=log0, r_lut_inv_d=inv_d)
+        r_lut_log0=log0, r_lut_inv_d=inv_d,
+        r_lut_pack=None if r_lut_pack is None else jnp.asarray(r_lut_pack),
+        zc_pack=jnp.asarray(zc_pack))
 
 
 def locate(gi: GridIndex, rsq, z_abs):
@@ -183,29 +202,55 @@ def locate(gi: GridIndex, rsq, z_abs):
     reference's pointer-tree walk (ray_propagating.f90:136-178)."""
     r = jnp.sqrt(rsq)
     ncol = gi.r_edges.shape[0] - 1
-    if gi.r_lut is not None:
-        n_lut = gi.r_lut.shape[0]
+    max_nz = gi.cell_of.shape[1]
+    if gi.r_lut_pack is not None and gi.zc_pack is not None \
+            and jnp.asarray(r).dtype == jnp.float32:
+        # packed f32 fast path (MC walk): TWO row gathers total.
+        # f64 callers (ray tracer, launch) keep the full-precision path.
+        n_lut = gi.r_lut_pack.shape[0]
         slot = jnp.clip(jnp.floor(
             (jnp.log(jnp.maximum(r, 1e-30)) - gi.r_lut_log0)
             * gi.r_lut_inv_d).astype(jnp.int32), 0, n_lut - 1)
-        ic0 = gi.r_lut[slot]
+        prow = gi.r_lut_pack[slot]                      # [..., 3]
+        ic0 = prow[..., 0].astype(jnp.int32)
         # at most one boundary per slot by construction: +-1 correction
         # (the -1 guards f32 log round-off landing one slot high)
-        ic = ic0 + (r >= gi.r_edges[jnp.minimum(ic0 + 1, ncol)]
-                    ).astype(jnp.int32) \
-            - (r < gi.r_edges[ic0]).astype(jnp.int32)
+        ic = ic0 + (r >= prow[..., 2]).astype(jnp.int32) \
+            - (r < prow[..., 1]).astype(jnp.int32)
         ic = jnp.clip(ic, 0, ncol - 1)
+        zc = gi.zc_pack[ic]                  # [..., 2*max_nz + 1]
+        zrow = zc[..., :max_nz + 1]
+        iz = jnp.sum(zrow <= z_abs[..., None], axis=-1) - 1
+        iz = jnp.clip(iz, 0, max_nz - 1)
+        # cell id via a one-hot contraction over the already-gathered
+        # row (elementwise; a take_along_axis here would be one more
+        # indexed op in the walk loop)
+        onehot = (jnp.arange(max_nz) == iz[..., None])
+        cell = jnp.sum(jnp.where(onehot, zc[..., max_nz + 1:], 0.0),
+                       axis=-1).astype(jnp.int32)
+        z0 = zrow[..., 0]
     else:
-        ic = jnp.clip(jnp.searchsorted(gi.r_edges, r, side="right") - 1,
-                      0, ncol - 1)
-    zrow = gi.z_edges[ic]                  # [..., max_nz + 1]
-    # comparison-count "searchsorted" along the ragged z ladder (the pad
-    # value +inf never counts); works for scalar or batched inputs
-    iz = jnp.sum(zrow <= z_abs[..., None], axis=-1) - 1
-    iz = jnp.clip(iz, 0, gi.cell_of.shape[1] - 1)
-    cell = gi.cell_of[ic, iz]
-    z0 = jnp.take_along_axis(zrow, jnp.zeros_like(iz)[..., None],
-                             axis=-1)[..., 0]
+        if gi.r_lut is not None:
+            n_lut = gi.r_lut.shape[0]
+            slot = jnp.clip(jnp.floor(
+                (jnp.log(jnp.maximum(r, 1e-30)) - gi.r_lut_log0)
+                * gi.r_lut_inv_d).astype(jnp.int32), 0, n_lut - 1)
+            ic0 = gi.r_lut[slot]
+            ic = ic0 + (r >= gi.r_edges[jnp.minimum(ic0 + 1, ncol)]
+                        ).astype(jnp.int32) \
+                - (r < gi.r_edges[ic0]).astype(jnp.int32)
+            ic = jnp.clip(ic, 0, ncol - 1)
+        else:
+            ic = jnp.clip(
+                jnp.searchsorted(gi.r_edges, r, side="right") - 1,
+                0, ncol - 1)
+        zrow = gi.z_edges[ic]                  # [..., max_nz + 1]
+        # comparison-count "searchsorted" along the ragged z ladder (the
+        # pad value +inf never counts); scalar or batched inputs
+        iz = jnp.sum(zrow <= z_abs[..., None], axis=-1) - 1
+        iz = jnp.clip(iz, 0, max_nz - 1)
+        cell = gi.cell_of[ic, iz]
+        z0 = zrow[..., 0]
     inside = (r >= gi.rmin_dom) & (r <= gi.rmax_dom) \
         & (z_abs <= gi.zmax_dom) & (z_abs >= z0) & (cell >= 0)
     return jnp.where(inside, cell, -1)

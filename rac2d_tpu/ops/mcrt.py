@@ -210,13 +210,15 @@ def _cellmat_layout(n_dust):
 @partial(jax.jit,
          static_argnames=("max_steps", "n_quantile", "n_mu",
                           "nmax_encounter", "use_mrw", "mrw_gamma",
-                          "mrw_lam_min", "finalize", "save_dir"),
+                          "mrw_lam_min", "finalize", "save_dir",
+                          "save_counts"),
          donate_argnums=(2, 3))
 def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
              max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
              nmax_encounter: int = 50_000, use_mrw: bool = True,
              mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4,
-             finalize: bool = True, save_dir: bool = False):
+             finalize: bool = True, save_dir: bool = False,
+             save_counts: bool = True):
     """One bounded device program: advance all packets up to max_steps
     walk iterations.  Returns (key', packets, tallies); with
     finalize=False the MRW path tally is NOT yet folded into the flux
@@ -236,9 +238,20 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
     state is frozen in the terminated lanes.
     """
     tab = model.tab
-    gi = model.gi
-    seg = tab.lam_seg
-    # the walk runs in F (f32): cast cell state + optical tables once
+    # the walk runs in F (f32): cast cell state + optical tables once.
+    # gi and lam_seg carry f64 numpy leaves (host-precision builds);
+    # used as-is they would silently promote every locate / lam_to_bin
+    # in the loop body to EMULATED f64 on TPU (~10x the op count —
+    # measured ~15 ms/step of the walk cost, tools/probe_walk_cost.py).
+    gi = model.gi._replace(
+        r_edges=jnp.asarray(model.gi.r_edges, F),
+        z_edges=jnp.asarray(model.gi.z_edges, F))
+    s = tab.lam_seg
+    seg = s._replace(
+        log0=jnp.asarray(s.log0, F), inv_d=jnp.asarray(s.inv_d, F),
+        b_mid=jnp.asarray(s.b_mid, F), b_lya=jnp.asarray(s.b_lya, F),
+        b_high=jnp.asarray(s.b_high, F),
+        lya_inv_d=jnp.asarray(s.lya_inv_d, F))
     cells = model.cells._replace(**{
         f: jnp.asarray(getattr(model.cells, f), F)
         for f in ("rmin", "rmax", "zmin", "zmax", "n_gas", "n_HI", "n_H2O",
@@ -265,6 +278,20 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
 
     # --- reemission wavelengths pre-baked: one flat gather ------------
     reemit_lam = lam_grid[jnp.asarray(tab.reemit_q)].reshape(-1)
+
+    # --- Lyman-alpha cross-section LUT --------------------------------
+    # The Humlicek Voigt chain (complex rationals + exp) costs ~5 ms per
+    # walk step at B~2e5 (tools/probe_walk_bisect.py); precompute
+    # sigma(lam_bin, T_bin) once per walk program and replace the in-loop
+    # evaluation with one flat gather.  256 log-spaced T bins over
+    # [1, 16000] K keep the nearest-bin width error under ~1%.
+    _N_TLYA = 256
+    _lnT_lo = jnp.log(jnp.asarray(1.0, F))
+    _inv_dlnT_lya = jnp.asarray(
+        (_N_TLYA - 1) / (jnp.log(16000.0) - 0.0), F)
+    _T_bins = jnp.exp(jnp.arange(_N_TLYA, dtype=F) / _inv_dlnT_lya)
+    lya_lut = optics.lya_sigma(lam_grid[:, None],
+                               _T_bins[None, :]).astype(F).reshape(-1)
 
     # --- Modified Random Walk per-cell precomputation -----------------
     # (Min et al. 2009; no analogue in the reference, which walks every
@@ -368,7 +395,9 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
 
         using = using_c & in_grid
         trow = tabmat[ilam]                              # [B, K]
-        sigma_lya = optics.lya_sigma(lam_local, Tg)
+        iT_lya = jnp.clip(((jnp.log(Tg) - _lnT_lo) * _inv_dlnT_lya
+                           + 0.5).astype(jnp.int32), 0, _N_TLYA - 1)
+        sigma_lya = lya_lut[ilam * _N_TLYA + iT_lya]
         ab_gas = trow[:, 0] * n_gas
         sc_gas = trow[:, 1] * n_gas + sigma_lya * n_HI
         ab_h2o = trow[:, 2] * n_H2O
@@ -392,7 +421,6 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         ext_ab = ab_gas + ab_h2o + sum(ab_d)
         ext_sc = sc_gas + sum(sc_d)
         ext_tot = jnp.where(using, ext_ab + ext_sc, 0.0)
-        albedo = ext_sc / jnp.maximum(ext_tot, 1e-33)
 
         tau_this = ext_tot * c.AU2cm * length
         enc = (tau_this >= pk.tau) & active & (tau_this > 0.0)
@@ -404,27 +432,27 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         nz = pk.z + pk.vz * move_len
 
         # --- tallies (continuous estimators; reference walk :656-684) ---
+        # TPU scatter-adds cost ~1.5 ms per B elements in a loop body
+        # regardless of grouping (tools/probe_fused_scatter.py), so the
+        # walk scatters the MINIMUM element count: flux (+ MRW path).
+        # The per-dust absorbed energy is NOT tallied here — it is the
+        # flux contracted against the dust absorption extinction, done
+        # once per pass (en_gain_from_flux).  Count diagnostics
+        # (phc / cr_count / discrete-absorption tally) are opt-in.
         tmask = active & using
         wflux = jnp.where(tmask, move_len * pk.en, 0.0)
         flat = cell * nlam + ilam
         flux = tl.flux.reshape(-1).at[flat].add(wflux).reshape(tl.flux.shape)
-        phc = tl.phc.reshape(-1).at[flat].add(
-            jnp.where(tmask, 1.0, 0.0)).reshape(tl.phc.shape)
+        if save_counts:
+            phc = tl.phc.reshape(-1).at[flat].add(
+                jnp.where(tmask, 1.0, 0.0)).reshape(tl.phc.shape)
+        else:
+            phc = tl.phc
         if save_dir:
             dir_flux = tl.dir_flux.at[cell].add(
                 wflux[:, None] * jnp.stack([pk.vx, pk.vy, pk.vz], axis=1))
         else:
             dir_flux = tl.dir_flux
-        frac_abso = jnp.where(
-            tmask & (tau_this > 0.0),
-            jnp.where(tau_this <= 1e-4, tau_this,
-                      -jnp.expm1(-jnp.minimum(tau_this, 30.0)))
-            * (1.0 - albedo), 0.0)
-        en_gain = tl.en_gain
-        for i in range(n_dust):
-            en_gain = en_gain.at[i, cell].add(
-                frac_abso * pk.en * crow[:, L["rho0"] + 3 * i + 2])
-
         # --- event selection ---
         probs = jnp.stack([ab_gas, sc_gas, ab_h2o, jnp.zeros_like(ab_h2o)]
                           + [x for pair in zip(ab_d, sc_d) for x in pair])
@@ -444,10 +472,13 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
 
         # discrete dust absorption tally (non-X-ray); water deposits are
         # terminal events folded outside the loop (fold_terminal_tallies)
-        en_gain_abso = tl.en_gain_abso.reshape(-1).at[
-            idust_ev * n_cells + cell].add(
-            jnp.where(dust_abs_keep, pk.en, 0.0)).reshape(
-            tl.en_gain_abso.shape)
+        if save_counts:
+            en_gain_abso = tl.en_gain_abso.reshape(-1).at[
+                idust_ev * n_cells + cell].add(
+                jnp.where(dust_abs_keep, pk.en, 0.0)).reshape(
+                tl.en_gain_abso.shape)
+        else:
+            en_gain_abso = tl.en_gain_abso
 
         # --- new directions ---
         phi = 2.0 * jnp.pi * u_d2
@@ -521,8 +552,11 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         new_status = jnp.where(escaped, ST_ESCAPED, new_status)
         new_cell = jnp.where(crossed, jnp.maximum(new_cell_loc, 0), pk.cell)
 
-        cr_count = tl.cr_count.at[new_cell].add(
-            jnp.where(crossed & ~escaped, 1.0, 0.0))
+        if save_counts:
+            cr_count = tl.cr_count.at[new_cell].add(
+                jnp.where(crossed & ~escaped, 1.0, 0.0))
+        else:
+            cr_count = tl.cr_count
 
         # new tau on encounter
         new_tau = jnp.where(enc, -jnp.log(u_tau), pk.tau - tau_this)
@@ -580,7 +614,7 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
             status=new_status,
             e_count=e_count + mrw.astype(pk.e_count.dtype))
         tl2 = McTallies(flux=flux, phc=phc, dir_flux=dir_flux,
-                        en_gain=en_gain,
+                        en_gain=tl.en_gain,
                         en_gain_abso=en_gain_abso,
                         ab_en_water=tl.ab_en_water,
                         cr_count=cr_count, collector=tl.collector,
@@ -603,6 +637,7 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
             tallies = _mrw_fold_tallies(tallies, rho_kapP, cells,
                                         lam_grid, mrw_lam_min)
         tallies = _fold_terminal(model, packets, tallies, n_mu)
+        tallies = _en_gain_from_flux(model, tallies)
     return key_out, packets, tallies
 
 
@@ -693,12 +728,54 @@ def _mrw_fold_tallies(tallies, rho_kapP, cells, lam_grid, mrw_lam_min):
     w = w / jnp.maximum(w.sum(1, keepdims=True), 1e-30)
     # mrw_path is CONSUMED by the fold (zeroed): tallies accumulate
     # across ladder slices, and a later slice's fold must not re-deposit
-    # an earlier slice's already-folded path
+    # an earlier slice's already-folded path.  The absorbed energy is
+    # NOT deposited here: en_gain is derived from the folded flux by
+    # _en_gain_from_flux (contracting the blackbody deposit against the
+    # dust extinction recovers en*path*rho_i*kappa_P,i).
     return tallies._replace(
         flux=tallies.flux + mp[:, None] * w,
-        en_gain=tallies.en_gain
-        + mp[None, :] * jnp.asarray(c.AU2cm, F) * rho_kapP,
         mrw_path=jnp.zeros_like(mp))
+
+
+@partial(jax.jit, donate_argnums=(1,))
+def _en_gain_from_flux(model: McModel, tallies: McTallies) -> McTallies:
+    """Per-dust absorbed energy as the flux tally contracted against the
+    dust absorption extinction: en_gain[i, cell] = AU2cm * sum_lam
+    flux[cell, lam] * ab_i(cell, lam).
+
+    This is the Lucy (1999) continuous (path-length) absorption
+    estimator — identical in expectation to the per-encounter
+    (1-e^-tau)(1-albedo) deposit the walk body used before (reference
+    montecarlo.f90:656-684) but with lower variance, exact per-
+    wavelength dust partitioning (the walk's frozen abso_wei weights
+    were wavelength-independent), and ZERO in-loop scatter cost: on TPU
+    a while_loop scatter-add costs ~1.5 ms per B elements
+    (tools/probe_fused_scatter.py), so deriving en_gain outside the loop
+    removes n_dust scatters from every walk step.  Must run ONCE per
+    pass on the final cumulative flux (it overwrites en_gain — the map
+    flux -> en_gain is linear, so slice/shard partial fluxes compose).
+    """
+    tab = model.tab
+    cells = model.cells
+    flux = tallies.flux.astype(F)                     # [n_cells, nlam]
+    n_dust = cells.rho_dust.shape[0]
+    n_gas = jnp.asarray(cells.n_gas, F)
+    gains = []
+    for i in range(n_dust):
+        rho = jnp.asarray(cells.rho_dust[i], F)
+        ab = rho[:, None] * jnp.asarray(tab.kab[i], F)[None, :]
+        if i == n_dust - 1:
+            # X-ray dust terms ride on the last component (reference
+            # update_current_accum, montecarlo.f90:1193-1201)
+            epsd = jnp.asarray(cells.dust_depletion, F)
+            sraw = epsd[:, None] * jnp.asarray(tab.xr_dus_abs0,
+                                               F)[None, :]
+            f = bethell.dust_blanketing(
+                sraw, jnp.asarray(cells.d2h, F)[:, None],
+                jnp.asarray(cells.grain_a, F)[:, None], jnp)
+            ab = ab + f * sraw * n_gas[:, None]
+        gains.append((flux * ab).sum(1) * jnp.asarray(c.AU2cm, F))
+    return tallies._replace(en_gain=jnp.stack(gains))
 
 
 @partial(jax.jit, static_argnames=("mrw_lam_min",), donate_argnums=(1,))
@@ -724,7 +801,7 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
             max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
             nmax_encounter: int = 50_000, use_mrw: bool = True,
             mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4,
-            save_dir: bool = False):
+            save_dir: bool = False, save_counts: bool = True):
     """Run one batch of packets to completion as a single device program;
     returns (packets, tallies).  On hardware with a device-program
     watchdog prefer mc_pass_hosted."""
@@ -732,7 +809,7 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
         model, key, packets, tallies, max_steps=max_steps,
         n_quantile=n_quantile, n_mu=n_mu, nmax_encounter=nmax_encounter,
         use_mrw=use_mrw, mrw_gamma=mrw_gamma, mrw_lam_min=mrw_lam_min,
-        finalize=True, save_dir=save_dir)
+        finalize=True, save_dir=save_dir, save_counts=save_counts)
     return packets, tallies
 
 
@@ -773,7 +850,7 @@ def mc_pass_hosted(model: McModel, key, packets: Packets,
                    use_mrw: bool = True, mrw_gamma: float = 4.0,
                    mrw_lam_min: float = 1e4, progress_cb=None,
                    compact: bool = False, compact_floor: int = 1024,
-                   save_dir: bool = False):
+                   save_dir: bool = False, save_counts: bool = True):
     """mc_pass as a host loop over BOUNDED device programs.
 
     A single whole-walk while_loop runs for minutes at production packet
@@ -804,7 +881,7 @@ def mc_pass_hosted(model: McModel, key, packets: Packets,
             n_quantile=n_quantile, n_mu=n_mu,
             nmax_encounter=nmax_encounter, use_mrw=use_mrw,
             mrw_gamma=mrw_gamma, mrw_lam_min=mrw_lam_min,
-            finalize=False, save_dir=save_dir)
+            finalize=False, save_dir=save_dir, save_counts=save_counts)
         done += chunk
         status = np.asarray(packets.status)
         n_active = int((status == ST_ACTIVE).sum())
@@ -829,6 +906,7 @@ def mc_pass_hosted(model: McModel, key, packets: Packets,
         tallies = _mc_mrw_finalize(model, tallies,
                                    mrw_lam_min=mrw_lam_min)
     tallies = fold_terminal_tallies(model, packets, tallies, n_mu)
+    tallies = _en_gain_from_flux(model, tallies)
     final = packet_fates(packets.status)
     for k2 in fates:
         fates[k2] += final.get(k2, 0)

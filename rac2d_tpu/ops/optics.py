@@ -68,6 +68,13 @@ class McConfig:
     # one extra multi-column scatter per walk step and nothing in the
     # production pipeline consumes it
     save_dir_flux: bool = False
+    # count diagnostics (photon counts per channel, cell crossing
+    # counts, discrete-absorption tally; reference montecarlo.f90
+    # cr_count/phc bookkeeping): off by default — each costs one
+    # scatter-add per walk step (~1.5 ms per B elements on TPU) and
+    # nothing in the production pipeline consumes them.  Forced on when
+    # do_fill_blank is set (fill_blank smooths by photon count).
+    save_counts: bool = False
     # cap on simultaneously-transported packets: bigger ladders are
     # walked in slices of this size re-using one compiled program
     # (bounded memory + bounded device-program runtime on TPU)

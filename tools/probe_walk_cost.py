@@ -30,7 +30,9 @@ def main():
     nlam = len(m.tab.lam)
     kw = dict(n_quantile=m.mc_cfg.n_quantile,
               nmax_encounter=10**9,     # keep lanes alive
-              use_mrw=False,            # pure scattering walk
+              use_mrw=os.environ.get("RAC2D_PROBE_MRW", "0") == "1",
+              save_counts=os.environ.get("RAC2D_PROBE_COUNTS",
+                                         "0") == "1",
               finalize=False)
     cells = m.mc_cells()
     model = mcrt.McModel(tab=m.tab, gi=m.gi, cells=cells,

@@ -7,8 +7,11 @@ rates, RHS, Jacobian, factorization, solve (with/without refinement) —
 the data behind the round-2 throughput work (see ROOFLINE.md).
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
