@@ -211,20 +211,34 @@ def bench_chem():
     # host_loop: one bounded device program per record interval — a
     # single whole-integration program runs for minutes and trips the
     # TPU device watchdog
-    def solve(y, T):
+    cont = os.environ.get("RAC2D_BENCH_CONTINUOUS", "1") == "1"
+
+    def solve(y, T, tts, wall=None):
         return ode.solve_batched(
-            envs, y, T, touts, rtol_b, atol_b, first_step=1e-8,
-            evolT=evolT, tenvs=tenvs,
+            envs, y, T, tts, rtol_b, atol_b, first_step=1e-8,
+            evolT=evolT, tenvs=tenvs, continuous=cont,
             max_steps_per_interval=400, host_loop=True,
+            max_wall_s=wall,
             # inexact Newton: skip the f64 refinement matvec (emulated
             # f64 dominates TPU round time); Newton's own convergence
             # test still bounds the corrector residual
             n_refine=n_refine)
 
-    res = solve(y0b, T0b)             # warmup/compile
+    # warmup must be cheap: a full warmup solve would double the bench
+    # wall time past the child budget (a full B=256 solve is ~10 min;
+    # round-2's bench lost this line exactly that way).  The interval
+    # driver compiles one record program for ANY touts length -> warm on
+    # 3 intervals; the continuous driver's advance program is touts-
+    # length-shaped -> warm on the full touts with a tight wall guard
+    # (its first advance call, which contains the compile, is
+    # budget-exempt by design).
+    if cont:
+        res = solve(y0b, T0b, touts, wall=30.0)
+    else:
+        res = solve(y0b, T0b, touts[:3])
     jax.block_until_ready(res.ys)
     t0 = time.time()
-    res = solve(y0b, T0b)
+    res = solve(y0b, T0b, touts)
     jax.block_until_ready(res.ys)
     dt = time.time() - t0
     steps = int(np.asarray(res.n_steps).sum())

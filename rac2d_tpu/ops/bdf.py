@@ -660,17 +660,13 @@ def _batch_init(f_b, y0, t0, first_step, args) -> BDFBatchState:
         dbg=jnp.zeros((B, 16)))
 
 
-def _make_batch_record(f_b: Callable, jac_b: Callable,
-                       max_steps_per_interval: int,
-                       sanity_b: Callable | None, n_refine: int):
-    """Build record(state, tout, t_bound, rtol, atol, args): integrate
-    every lane to tout (or failure / step budget) and return
-    (state, (t_rec, y_rec)).  Shared by the scan-driven and host-driven
-    solvers.  f_b/jac_b are PURE functions of (y, args) — the problem
-    data (cell environments) rides in `args` as a traced pytree, so one
-    compiled record serves every chunk of the sweep instead of baking
-    each chunk's environments in as constants (which forced a
-    recompile per chunk)."""
+def _make_round_body(f_b: Callable, jac_b: Callable,
+                     sanity_b: Callable | None, n_refine: int):
+    """One batched BDF round (predict -> refresh? -> Newton -> error
+    test -> adapt) as a reusable closure round_body(state, tout,
+    t_bound, k_round, rtol, atol, newton_tol, args).  Shared by the
+    interval-barrier record driver (_make_batch_record) and the
+    per-lane continuous-recording driver (make_advance_jit)."""
     vpredict = jax.vmap(_predict)
     vpsi = jax.vmap(_psi)
     vchange = jax.vmap(_change_D)
@@ -867,6 +863,22 @@ def _make_batch_record(f_b: Callable, jac_b: Callable,
             n_lu=n_lu, J=J, fac=fac, c_lu=c_lu,
             jfresh=jfresh & ~accept, need_j=need_j_new, dbg=dbg)
 
+    return round_body
+
+
+def _make_batch_record(f_b: Callable, jac_b: Callable,
+                       max_steps_per_interval: int,
+                       sanity_b: Callable | None, n_refine: int):
+    """Build record(state, tout, t_bound, rtol, atol, args): integrate
+    every lane to tout (or failure / step budget) and return
+    (state, (t_rec, y_rec)).  Shared by the scan-driven and host-driven
+    solvers.  f_b/jac_b are PURE functions of (y, args) — the problem
+    data (cell environments) rides in `args` as a traced pytree, so one
+    compiled record serves every chunk of the sweep instead of baking
+    each chunk's environments in as constants (which forced a
+    recompile per chunk)."""
+    round_body = _make_round_body(f_b, jac_b, sanity_b, n_refine)
+
     def record(state, tout, t_bound, rtol, atol, args):
         rtol_min = jnp.min(rtol)
         newton_tol = jnp.maximum(
@@ -947,6 +959,160 @@ def make_record_jit(f_b, jac_b, max_steps_per_interval=2000,
     shape, NOT per chunk of cell environments)."""
     return jax.jit(_make_batch_record(f_b, jac_b, max_steps_per_interval,
                                       sanity_b, n_refine))
+
+
+def _newton_tol_of(rtol):
+    rtol_min = jnp.min(rtol)
+    return jnp.maximum(
+        10 * jnp.finfo(jnp.float64).eps / jnp.maximum(rtol_min, 1e-15),
+        jnp.minimum(0.03, jnp.sqrt(rtol_min)))
+
+
+class ContState(NamedTuple):
+    """Carry of the continuous-recording batch driver."""
+    st: BDFBatchState
+    irec: jnp.ndarray    # [B] int32: index of each lane's NEXT tout
+    since: jnp.ndarray   # [B] int32: rounds since the lane last recorded
+    ts: jnp.ndarray      # [B, n_out] recorded times
+    ys: jnp.ndarray      # [B, n_out, NEQ] recorded states
+
+
+def make_advance_jit(f_b: Callable, jac_b: Callable,
+                     max_steps_per_interval: int = 2000,
+                     sanity_b: Callable | None = None, n_refine: int = 1):
+    """Jitted advance(cst, touts, t_bound, rtol, atol, args,
+    max_rounds) -> ContState for bdf_solve_batch_cont.
+
+    PER-LANE CONTINUOUS RECORDING: unlike the record driver
+    (_make_batch_record), which pauses every lane at each shared tout
+    until the slowest lane arrives (active = t < tout — with ~70
+    log-spaced record times the batch spends most rounds nearly empty,
+    the dominant throughput loss of the batched solver), here every
+    lane steps toward t_bound on EVERY round and writes its own record
+    entries whenever it crosses its next tout (dense-output interpolate
+    + per-lane scatter, usually a no-op round to round).  The only
+    barrier is the end of the whole integration.
+
+    The per-interval step budget becomes a per-lane budget: a lane
+    fails when it spends more than max_steps_per_interval rounds
+    without reaching its next tout (same runaway guard as the record
+    driver's while bound)."""
+    round_body = _make_round_body(f_b, jac_b, sanity_b, n_refine)
+
+    def advance(cst: ContState, touts, t_bound, rtol, atol, args,
+                max_rounds):
+        n_out = touts.shape[0]
+        newton_tol = _newton_tol_of(rtol)
+        B = cst.st.t.shape[0]
+        aB = jnp.arange(B)
+
+        def rec_cond(c):
+            st, irec, since, ts, ys = c
+            tnext = touts[jnp.clip(irec, 0, n_out - 1)]
+            return jnp.any((irec < n_out) & (st.t >= tnext) & ~st.fail)
+
+        def rec_body(c):
+            st, irec, since, ts, ys = c
+            ir = jnp.clip(irec, 0, n_out - 1)
+            tnext = touts[ir]
+            m = (irec < n_out) & (st.t >= tnext) & ~st.fail
+            yi = jax.vmap(interpolate)(st.D, st.order, st.t, st.h, tnext)
+            ys = ys.at[aB, ir].set(
+                jnp.where(m[:, None], yi, ys[aB, ir]))
+            ts = ts.at[aB, ir].set(jnp.where(m, tnext, ts[aB, ir]))
+            irec = irec + m
+            since = jnp.where(m, 0, since)
+            return (st, irec, since, ts, ys)
+
+        def cond(carry):
+            c, k = carry
+            live = ~c.st.fail & (c.irec < n_out)
+            return jnp.any(live) & (k < max_rounds)
+
+        def body(carry):
+            c, k = carry
+            was_active = (c.st.t < t_bound) & ~c.st.fail
+            st = round_body(c.st, t_bound, t_bound, k, rtol, atol,
+                            newton_tol, args)
+            since = c.since + was_active.astype(jnp.int32)
+            st, irec, since, ts, ys = jax.lax.while_loop(
+                rec_cond, rec_body, (st, c.irec, since, c.ts, c.ys))
+            # runaway guard; also catch lanes stalled AT t_bound with
+            # records outstanding (cannot happen unless touts exceed
+            # t_bound — defensive)
+            fail = st.fail | ((irec < n_out)
+                              & (since > max_steps_per_interval))
+            st = st._replace(fail=fail)
+            return (ContState(st, irec, since, ts, ys), k + 1)
+
+        carry, _ = jax.lax.while_loop(cond, body, (cst, jnp.array(0)))
+        return carry
+
+    return jax.jit(advance)
+
+
+def bdf_solve_batch_cont(f_b: Callable, jac_b: Callable, y0, t0, touts,
+                         rtol, atol, first_step,
+                         max_steps_per_interval: int = 2000,
+                         sanity_b: Callable | None = None,
+                         n_refine: int = 1,
+                         max_wall_s: float | None = None,
+                         progress_cb: Callable | None = None,
+                         args=None, advance_fn=None,
+                         rounds_per_call: int = 256) -> BDFResult:
+    """Host-driven continuous-recording batch solve (see
+    make_advance_jit): bounded device programs of rounds_per_call BDF
+    rounds each, NO per-tout barrier.  Same result shapes/semantics as
+    bdf_solve_batch_host; recorded trajectories differ only through the
+    batch-global refresh coupling (the per-lane step control is
+    identical)."""
+    import time as _time
+
+    y0 = jnp.asarray(y0, dtype=jnp.float64)
+    touts_j = jnp.asarray(touts, dtype=jnp.float64)
+    n_out = touts_j.shape[0]
+    t_bound = touts_j[-1]
+    B, NEQ = y0.shape
+    state = _batch_init(f_b, y0, t0, first_step, args)
+    cst = ContState(
+        st=state, irec=jnp.zeros(B, jnp.int32),
+        since=jnp.zeros(B, jnp.int32),
+        ts=jnp.zeros((B, n_out)), ys=jnp.zeros((B, n_out, NEQ)))
+    advance = advance_fn if advance_fn is not None else make_advance_jit(
+        f_b, jac_b, max_steps_per_interval, sanity_b, n_refine)
+    t_start = None
+    k = 0
+    while True:
+        cst = advance(cst, touts_j, t_bound, rtol, atol, args,
+                      jnp.asarray(rounds_per_call))
+        jax.block_until_ready(cst.irec)
+        now = _time.time()
+        if t_start is None:
+            t_start = now   # first call is compile-exempt
+        irec = np.asarray(cst.irec)
+        fail = np.asarray(cst.st.fail)
+        if progress_cb is not None:
+            progress_cb(k, cst.st)
+        k += 1
+        if bool(((irec >= n_out) | fail).all()):
+            break
+        if max_wall_s is not None and now - t_start > max_wall_s:
+            cst = cst._replace(st=cst.st._replace(
+                fail=cst.st.fail | (cst.irec < n_out)))
+            break
+    # fill unrecorded entries of failed/aborted lanes with their last
+    # state (the record driver repeats the last good record the same way)
+    st = cst.st
+    jr = jnp.arange(n_out)
+    open_m = jr[None, :] >= cst.irec[:, None]          # [B, n_out]
+    y_cur = st.D[:, 0]
+    ys = jnp.where(open_m[:, :, None], y_cur[:, None, :], cst.ys)
+    ts = jnp.where(open_m, jnp.minimum(st.t[:, None], touts_j[None, :]),
+                   cst.ts)
+    fail = st.fail | (cst.irec < n_out)
+    return BDFResult(ts=ts, ys=ys, t_final=st.t, fail=fail,
+                     n_steps=st.n_steps, n_feval=st.n_feval,
+                     n_jeval=st.n_jeval, n_lu=st.n_lu)
 
 
 def bdf_solve_batch_host(f_b: Callable, jac_b: Callable, y0, t0, touts,

@@ -225,6 +225,7 @@ class ChemicalODE:
                       max_steps_per_interval: int = 2000,
                       refac_every: int = 2,
                       n_refine: int = 1, host_loop: bool = False,
+                      continuous: bool = False,
                       max_wall_s: float | None = None,
                       progress_cb=None) -> bdfmod.BDFResult:
         """Batch-native solve: envs/tenvs fields and y0/T0/rtol/atol carry
@@ -244,6 +245,23 @@ class ChemicalODE:
         args = (envs, tenvs, kb)
         y0 = jnp.concatenate(
             [jnp.asarray(y0_species), jnp.asarray(Tgas0)[:, None]], axis=1)
+        if continuous:
+            # per-lane continuous recording: every lane steps every
+            # round, records its own touts via dense output — no
+            # per-interval barrier (see bdf.make_advance_jit)
+            key = ("cont", evolT, tenvs is not None,
+                   max_steps_per_interval, n_refine)
+            advance = self._solver_cache.get(key)
+            if advance is None:
+                advance = bdfmod.make_advance_jit(
+                    f_b, jac_b, max_steps_per_interval, sanity_b,
+                    n_refine)
+                self._solver_cache[key] = advance
+            return bdfmod.bdf_solve_batch_cont(
+                f_b, jac_b, y0, 0.0, touts, rtol, atol, first_step,
+                max_steps_per_interval, sanity_b, n_refine,
+                max_wall_s=max_wall_s, progress_cb=progress_cb,
+                args=args, advance_fn=advance)
         if host_loop:
             key = ("rec", evolT, tenvs is not None,
                    max_steps_per_interval, n_refine)

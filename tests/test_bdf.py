@@ -133,6 +133,58 @@ def test_host_loop_matches_scan():
                                   np.asarray(r2.n_steps))
 
 
+def test_continuous_matches_record():
+    """The per-lane continuous-recording driver (bdf_solve_batch_cont)
+    reproduces the interval-barrier driver's records within tolerance.
+    Trajectories are not bit-identical: the batch-global J/LU refresh
+    couples lanes differently when none pause at touts."""
+    from rac2d_tpu.ops.bdf import bdf_solve_batch, bdf_solve_batch_cont
+    f, jac = _robertson()
+    B = 4
+    f_b = lambda y, a: jax.vmap(f)(y)
+    jac_b = lambda y, a: jax.vmap(jac)(y)
+    touts = jnp.asarray(np.logspace(-3, 3, 8))
+    rtol = jnp.tile(jnp.full(3, 1e-6), (B, 1))
+    atol = jnp.tile(jnp.full(3, 1e-10), (B, 1))
+    # different initial conditions -> different per-lane step sequences
+    y0b = jnp.stack([jnp.array([1.0, 0.0, 0.0]),
+                     jnp.array([0.7, 0.2, 0.1]),
+                     jnp.array([0.5, 0.0, 0.5]),
+                     jnp.array([0.9, 0.05, 0.05])])
+    r1 = bdf_solve_batch(f_b, jac_b, y0b, 0.0, touts, rtol, atol, 1e-6)
+    r2 = bdf_solve_batch_cont(f_b, jac_b, y0b, 0.0, touts, rtol, atol,
+                              1e-6, rounds_per_call=64)
+    assert r2.ys.shape == r1.ys.shape
+    assert not bool(r2.fail.any())
+    np.testing.assert_allclose(np.asarray(r2.ts), np.asarray(r1.ts),
+                               rtol=0, atol=0)
+    d = np.abs(np.asarray(r2.ys) - np.asarray(r1.ys))
+    tol = 100 * (1e-6 * np.abs(np.asarray(r1.ys)) + 1e-10)
+    assert (d < tol).all(), d.max()
+
+
+def test_continuous_budget_guard():
+    """A lane that cannot reach its next tout within the per-lane round
+    budget is marked failed; healthy lanes finish."""
+    from rac2d_tpu.ops.bdf import bdf_solve_batch_cont
+    f, jac = _robertson()
+    B = 2
+    f_b = lambda y, a: jax.vmap(f)(y)
+    jac_b = lambda y, a: jax.vmap(jac)(y)
+    touts = jnp.asarray(np.logspace(-3, 3, 6))
+    rtol = jnp.tile(jnp.full(3, 1e-6), (B, 1))
+    atol = jnp.tile(jnp.full(3, 1e-10), (B, 1))
+    y0b = jnp.tile(jnp.array([1.0, 0.0, 0.0]), (B, 1))
+    r = bdf_solve_batch_cont(f_b, jac_b, y0b, 0.0, touts, rtol, atol,
+                             1e-6, max_steps_per_interval=3,
+                             rounds_per_call=32)
+    assert bool(r.fail.all())   # 3 rounds/tout cannot integrate Robertson
+    r2 = bdf_solve_batch_cont(f_b, jac_b, y0b, 0.0, touts, rtol, atol,
+                              1e-6, max_steps_per_interval=2000,
+                              rounds_per_call=32)
+    assert not bool(r2.fail.any())
+
+
 def test_host_loop_wall_clock_guard():
     """With an exhausted wall budget the host loop marks unfinished lanes
     failed instead of burning the full interval ladder (reference
