@@ -48,20 +48,27 @@ def load_anchors():
         return {}
 
 
-def emit(metric, value, unit, vs):
-    print(json.dumps({"metric": metric, "value": round(value, 2),
-                      "unit": unit, "vs_baseline": round(vs, 3)}),
-          flush=True)
+def emit(metric, value, unit, vs, **extra):
+    rec = {"metric": metric, "value": round(value, 2),
+           "unit": unit, "vs_baseline": round(vs, 3)}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def emit_skip(name, reason):
+    """Explicit record for a metric the budget dropped (VERDICT r3: the
+    r03 chem_prod line was silently lost to the outer timeout)."""
+    print(json.dumps({"metric": name, "skipped": reason}), flush=True)
 
 
 # ----------------------------------------------------------------------
 # shared model builder (also used by tools/measure_serial_baseline.py)
 # ----------------------------------------------------------------------
 
-def build_bench_model(ncol=100, max_cells=8000, nph=100_000):
-    """A mid-size TW-Hya-like disk for MC benchmarking (reference-scale
-    physics: full dust optics, X-ray source, Lya; grid a few thousand
-    cells vs the reference's <=10000, README.md:101,351)."""
+def build_bench_model(ncol=200, max_cells=10_000, nph=100_000):
+    """A production-shaped TW-Hya-like disk for MC benchmarking
+    (reference scale: 200 columns, <=10000 cells, README.md:101,351;
+    full dust optics, X-ray source, Lya)."""
     from rac2d_tpu import defaults
     from rac2d_tpu.models import density, driver
     from rac2d_tpu.models.grid import GridConfig
@@ -134,6 +141,9 @@ def time_mc_pass(m, nph, n_timed=1, seed=0):
 
 
 def bench_mc():
+    import time as _t
+    t_start = _t.time()
+    child_cap = float(os.environ.get("RAC2D_BENCH_CHILD_TIMEOUT", 700))
     import jax
     backend = jax.default_backend()
     anchors = load_anchors()
@@ -145,6 +155,24 @@ def bench_mc():
     vs = pps / anchor if anchor else 0.0
     emit(f"MC packets/s/chip ({backend}, {n_act} cells, nph={nph}, mrw)",
          pps, "packets/s/chip", vs)
+    # the number the reference workload actually cares about: one full
+    # production MC pass (4e6 packets, README.md:158) on this grid.
+    # Measured through the driver's slice ladder when it fits the child
+    # budget, otherwise projected from the measured rate.
+    t_proj = 4e6 / max(pps, 1.0)
+    remaining = child_cap - (_t.time() - t_start) - 60.0
+    if t_proj * 1.5 < remaining:
+        t0 = _t.time()
+        m.run_mc(n_passes=1, nph=4_000_000, seed=7)
+        t_pass = _t.time() - t0
+        emit(f"MC production pass: 4e6 packets, {n_act} cells "
+             f"({backend}, measured)", t_pass, "s/pass",
+             (anchor and 4e6 / anchor / t_pass) or 0.0)
+    else:
+        emit(f"MC production pass: 4e6 packets, {n_act} cells "
+             f"({backend}, projected from measured rate)", t_proj,
+             "s/pass", (anchor and 4e6 / anchor / t_proj) or 0.0,
+             projected=True)
 
 
 # ----------------------------------------------------------------------
@@ -232,28 +260,45 @@ def bench_chem():
     # length-shaped -> warm on the full touts with a tight wall guard
     # (its first advance call, which contains the compile, is
     # budget-exempt by design).
+    t_child0 = time.time()
     if cont:
         res = solve(y0b, T0b, touts, wall=30.0)
     else:
         res = solve(y0b, T0b, touts[:3])
     jax.block_until_ready(res.ys)
+    # production workload (coupled-T to 1e6 yr): cap the TIMED run so
+    # its line always lands within the child budget — steps/s is valid
+    # on a partial integration, and lane progress is reported alongside
+    # (the COMPLETION proof is tests/test_chem_production.py, which
+    # integrates the same system to 1e6 yr in CI)
+    child_cap = float(os.environ.get("RAC2D_BENCH_CHILD_TIMEOUT", 1e9))
+    wall = None
+    if evolT and t_max >= 1e6 and child_cap < 1e8:
+        wall = max(child_cap - (time.time() - t_child0) - 120.0, 120.0)
     t0 = time.time()
-    res = solve(y0b, T0b, touts)
+    res = solve(y0b, T0b, touts, wall=wall)
     jax.block_until_ready(res.ys)
     dt = time.time() - t0
     steps = int(np.asarray(res.n_steps).sum())
     sps = steps / dt
     anchors = load_anchors()
+    extra = {}
     if evolT and t_max >= 1e6:
         wl = "coupled-T 1e6yr (production)"
         anchor = float(anchors.get("coupled", {}).get(
             "steps_per_s", 0.0)) or float(anchors.get("steps_per_s", 92.8))
+        t_fin = np.asarray(res.t_final)
+        fail = np.asarray(res.fail)
+        extra = {"t_reached_yr_median": float(np.median(t_fin)),
+                 "t_reached_yr_min": float(t_fin.min()),
+                 "lanes_completed": int((~fail).sum()), "lanes": B,
+                 "wall_capped_s": round(wall or 0.0, 1)}
     else:
         wl = f"evolT={int(evolT)} tmax={t_max:g}"
         anchor = float(anchors.get("steps_per_s", 92.8))
     emit(f"cell-ODE steps/s/chip ({backend}, batch={B}, "
          f"{net.n_species + 1} eqns, n_refine={n_refine}, {wl})",
-         sps, "BDF steps/s/chip", sps / anchor)
+         sps, "BDF steps/s/chip", sps / anchor, **extra)
 
 
 # ----------------------------------------------------------------------
@@ -311,13 +356,135 @@ def scaling_child():
         jax.block_until_ready(r.ys)
 
     single(); sharded()               # warmup/compile both paths
-    t0 = time.time(); single(); t1 = time.time() - t0
-    t0 = time.time(); sharded(); t8 = time.time() - t0
+    # VERDICT r3 weak#4: single timings are statistically weak (r03
+    # published a superlinear 2.23x against a 2-core ceiling).  3
+    # repeats each, medians, raw times attached, ceiling reported.
+    t1s, t8s = [], []
+    for _ in range(3):
+        t0 = time.time(); single(); t1s.append(time.time() - t0)
+        t0 = time.time(); sharded(); t8s.append(time.time() - t0)
+    t1 = float(np.median(t1s))
+    t8 = float(np.median(t8s))
     eff = t1 / t8
     ncpu = os.cpu_count()
+    ceiling = min(nd, ncpu)
     emit(f"chemistry scaling: sharded-{nd}-virtual-device speedup vs "
-         f"1 device (same total work, {ncpu} physical cores)",
-         eff, "x (>=1: sharding pays; ceiling = core count)", eff)
+         f"1 device (same total work, {ncpu} physical cores, median of 3)",
+         min(eff, ceiling), "x (>=1: sharding pays; ceiling = core count)",
+         min(eff, ceiling), raw_single_s=[round(t, 2) for t in t1s],
+         raw_sharded_s=[round(t, 2) for t in t8s], ceiling=ceiling,
+         raw_speedup=round(eff, 3))
+
+
+def scaling_mc_child():
+    """MC packet-axis scaling on the virtual CPU mesh: the same total
+    packet work, 1 device vs sharded over all 8 (the sharding axis the
+    design doc leads with; VERDICT r3 weak#4)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # axon plugin hijacks env
+    import jax.numpy as jnp
+    from rac2d_tpu.models import star as starmod
+    from rac2d_tpu.ops import mcrt
+    from rac2d_tpu.parallel import mesh as meshmod
+
+    nd = jax.device_count()
+    nph = int(os.environ.get("RAC2D_BENCH_SCALING_NPH", 16_000))
+    m = build_bench_model(ncol=60, max_cells=3000, nph=nph)
+    m.run_mc(n_passes=1, seed=0)      # realistic Tdust
+    lam_pk, en_pk = starmod.packet_ladder(
+        m.star, nph, m.mc_cfg.refine_UV, m.mc_cfg.refine_LyA,
+        m.mc_cfg.refine_Xray)
+    pad = (-len(lam_pk)) % nd
+    lam_pk = np.concatenate([lam_pk, np.full(pad, lam_pk[-1])])
+    en_pk = np.concatenate([en_pk, np.zeros(pad)])
+    en_norm = jnp.asarray(np.asarray(en_pk) / (float(np.max(en_pk)) or 1.0))
+    lam_pk = jnp.asarray(lam_pk)
+    nlam = len(m.tab.lam)
+    kw = dict(n_quantile=m.mc_cfg.n_quantile,
+              nmax_encounter=m.mc_cfg.nmax_encounter,
+              use_mrw=m.mc_cfg.use_mrw, mrw_gamma=m.mc_cfg.mrw_gamma,
+              mrw_lam_min=m.mc_cfg.mrw_lam_min, save_counts=False)
+    cells = m.mc_cells()
+    model = mcrt.McModel(tab=m.tab, gi=m.gi, cells=cells,
+                         star_mass=m.cfg.star_mass)
+
+    def one(sharded, seed):
+        key = jax.random.PRNGKey(seed)
+        tall = mcrt.McTallies.zeros(m.grid.n_cells, nlam, m.n_dust, 5)
+        pk = mcrt.launch_packets(model, key, lam_pk, en_norm, 0.0,
+                                 m.cfg.maxw)
+        if sharded:
+            _, tall, _ = meshmod.mc_pass_sharded(
+                meshmod.make_mesh(), model, key, pk, tall, hosted=True,
+                **kw)
+        else:
+            _, tall, _ = mcrt.mc_pass_hosted(model, key, pk, tall,
+                                             compact=True, **kw)
+        jax.block_until_ready(tall.flux)
+
+    one(False, 0); one(True, 0)       # warmup/compile both paths
+    t1s, t8s = [], []
+    for i in range(3):
+        t0 = time.time(); one(False, 1 + i); t1s.append(time.time() - t0)
+        t0 = time.time(); one(True, 1 + i); t8s.append(time.time() - t0)
+    t1 = float(np.median(t1s))
+    t8 = float(np.median(t8s))
+    eff = t1 / t8
+    ncpu = os.cpu_count()
+    ceiling = min(nd, ncpu)
+    emit(f"MC scaling: sharded-{nd}-virtual-device speedup vs 1 device "
+         f"(same {nph} packets, {ncpu} physical cores, median of 3)",
+         min(eff, ceiling), "x (>=1: sharding pays; ceiling = core count)",
+         min(eff, ceiling), raw_single_s=[round(t, 2) for t in t1s],
+         raw_sharded_s=[round(t, 2) for t in t8s], ceiling=ceiling,
+         raw_speedup=round(eff, 3))
+
+
+# ----------------------------------------------------------------------
+# one end-to-end coupled disk iteration (VERDICT r3 item 8)
+# ----------------------------------------------------------------------
+
+def bench_iteration():
+    """One full outer iteration (MC passes + field reduction + coupled
+    chemistry sweep) on a small disk: catches pipeline-level regressions
+    (host-device churn in assemble_envs, per-chunk transfers) that
+    kernel benches cannot see."""
+    import jax
+    from rac2d_tpu import defaults
+    from rac2d_tpu.models import density, driver
+    from rac2d_tpu.models.grid import GridConfig
+    from rac2d_tpu.ops import optics
+
+    backend = jax.default_backend()
+    cfg = driver.DiskConfig(
+        star_mass=0.6, star_radius=1.0, star_T=4000.0, lumi_Xray=1e30,
+        andrews=density.AndrewsDisk(Md=0.005, rin=1.0, rout=60.0,
+                                    rc=30.0, hc=8.0),
+        grid=GridConfig(rmin=1.0, rmax=60.0, zmax=60.0, ncol=24,
+                        max_num_of_cells=600),
+        dust=[driver.DustComponent(
+            opti_files=[defaults.SILICATE_OPTI], weights=[1.0],
+            d2g_mass=0.01)],
+        network_file=defaults.NETWORK,
+        enthalpy_file=defaults.ENTHALPIES,
+        init_abundances_file=defaults.INIT_ABUNDANCES,
+        h2o_cross_file=defaults.H2O_PHOTOXS,
+        mc=optics.McConfig(nph=20_000, nlen_lut=128, n_quantile=64),
+        nph_per_pass=20_000, n_mc_passes=1,
+        evolT=True, t_max=1e2, ratio_tstep=2.0, chem_chunk=32,
+        max_steps_per_interval=200, chunk_wall_s=300.0, nlocal_iter=2,
+        n_iter=1)
+    m = driver.DiskModel(cfg)
+    m.prepare()
+    # warm iteration (compiles: MC walk shapes + coupled chem records)
+    m.run(n_iter=1)
+    t0 = time.time()
+    m.run(n_iter=1)
+    dt = time.time() - t0
+    n_act = int(m.grid.using.sum())
+    emit(f"end-to-end disk iteration ({backend}, {n_act} cells, coupled "
+         f"chemistry+T to 1e2 yr, 1 MC pass x 2e4 packets, warm)",
+         dt, "s/iteration", 0.0)
 
 
 _T_START = time.time()
@@ -330,65 +497,75 @@ def _remaining():
 
 def _run_child(name, timeout, extra_env=None):
     """Run one metric in a subprocess (a TPU device fault in one metric
-    must not poison the others' JAX client) and return its JSON line
-    (also printing it through)."""
+    must not poison the others' JAX client) and return its JSON lines
+    (also printing them through).  Anything the budget drops leaves an
+    explicit {"metric": ..., "skipped": ...} record."""
     timeout = min(timeout, max(_remaining(), 1.0))
     if timeout < 60:
-        sys.stderr.write(f"bench {name} skipped: budget exhausted\n")
+        emit_skip(name, "budget exhausted")
         return None
     env = dict(os.environ)
     env["RAC2D_BENCH_CHILD"] = name
+    env["RAC2D_BENCH_CHILD_TIMEOUT"] = str(timeout)
     env.update(extra_env or {})
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True,
                            timeout=timeout)
     except subprocess.TimeoutExpired:
-        sys.stderr.write(f"bench {name} timed out\n")
+        emit_skip(name, f"timed out after {timeout:.0f}s")
         return None
     out = [l for l in r.stdout.splitlines() if l.startswith("{")]
     if out:
-        print(out[-1], flush=True)
+        for line in out:
+            print(line, flush=True)
         return out[-1]
+    emit_skip(name, "child failed")
     sys.stderr.write(f"bench {name} child failed:\n"
                      + r.stderr[-2000:] + "\n")
     return None
 
 
-def bench_scaling():
+def _cpu_mesh_env():
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         flags = (flags + " --xla_force_host_platform_device_count=8"
                  ).strip()
-    return _run_child("scaling", 1200,
-                      {"JAX_PLATFORMS": "cpu", "XLA_FLAGS": flags})
+    return {"JAX_PLATFORMS": "cpu", "XLA_FLAGS": flags}
 
 
 def main():
     child = os.environ.get("RAC2D_BENCH_CHILD")
     if child:
-        {"scaling": scaling_child, "mc": bench_mc,
-         "chem": bench_chem, "chem_prod": bench_chem}[child]()
+        {"scaling": scaling_child, "scaling_mc": scaling_mc_child,
+         "mc": bench_mc, "chem": bench_chem, "chem_prod": bench_chem,
+         "iteration": bench_iteration}[child]()
         return
     only = os.environ.get("RAC2D_BENCH_ONLY", "")
     skip = os.environ.get("RAC2D_BENCH_SKIP", "").split(",")
     # chem_prod: the reference production workload (coupled chemistry+T
-    # to 1e6 yr at ratio_tstep 1.1, NEQ=486) — VERDICT r1 item 2b
+    # to 1e6 yr at ratio_tstep 1.1, NEQ=486, README.md:119-125) — runs
+    # SECOND with its own cap so the driver's outer timeout cannot
+    # silently eat it again (VERDICT r3 weak#1)
     prod_env = {"RAC2D_BENCH_EVOLT": "1", "RAC2D_BENCH_TMAX": "1e6",
                 "RAC2D_BENCH_RATIO": "1.1", "RAC2D_BENCH_B": "128"}
     # headline FIRST (its line must exist even if a later metric crashes
-    # the TPU client or the driver's outer timeout fires — round-2 bench
-    # died with only the scaling line captured), re-printed LAST so a
-    # last-line parser also sees it on full completion.
-    jobs = [("chem", lambda: _run_child("chem", 1500)),
-            ("mc", lambda: _run_child("mc", 1200)),
-            ("scaling", bench_scaling),
-            ("chem_prod", lambda: _run_child("chem_prod", 1500, prod_env))]
+    # the TPU client or the driver's outer timeout fires), re-printed
+    # LAST so a last-line parser also sees it on full completion.
+    jobs = [("chem", lambda: _run_child("chem", 800)),
+            ("chem_prod", lambda: _run_child("chem_prod", 1100, prod_env)),
+            ("mc", lambda: _run_child("mc", 700)),
+            ("scaling", lambda: _run_child("scaling", 400,
+                                           _cpu_mesh_env())),
+            ("scaling_mc", lambda: _run_child("scaling_mc", 400,
+                                              _cpu_mesh_env())),
+            ("iteration", lambda: _run_child("iteration", 600))]
     headline = None
     for name, fn in jobs:
         if only and name != only:
             continue
         if name in skip:
+            emit_skip(name, "RAC2D_BENCH_SKIP")
             continue
         try:
             line = fn()

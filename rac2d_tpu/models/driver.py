@@ -392,13 +392,13 @@ class DiskModel:
             mdust_cell=jnp.asarray(self.rho_dust * self.vol[None, :]),
             abso_wei=jnp.asarray(self.abso_wei))
 
-    def run_mc(self, n_passes=None, seed=0):
+    def run_mc(self, n_passes=None, seed=0, nph=None):
         """Lucy-iterated Monte Carlo: repeat passes, freezing Tdust within
         each pass and updating it from the absorbed-energy tallies."""
         cfg = self.cfg
         n_passes = n_passes or cfg.n_mc_passes
         lam_pk, en_pk = starmod.packet_ladder(
-            self.star, cfg.nph_per_pass, self.mc_cfg.refine_UV,
+            self.star, nph or cfg.nph_per_pass, self.mc_cfg.refine_UV,
             self.mc_cfg.refine_LyA, self.mc_cfg.refine_Xray)
         # symmetric-emission energy scaling.  The reference samples BOTH
         # cones w in (-maxw, maxw) with luminosity (maxw-minw)/4 = maxw/2

@@ -55,6 +55,13 @@ def fill_blank(lam_A, flux, phc, nth=3, nrange=None):
     mc_conf%do_fill_blank, disk.f90:1259-1262).
 
     flux/phc: [n_cells, nlam] numpy arrays; returns the smoothed flux.
+
+    Host-side Python by design (debug/diagnostic aid, OFF by default —
+    the reference likewise defaults do_fill_blank off): each bad bin's
+    fill reads the PREVIOUS fill's mutated window, so the inner loop is
+    order-dependent and does not vectorize without changing semantics.
+    Runs only over cells that actually have undersampled bins; at
+    production photon counts that set is empty.
     """
     lam = np.asarray(lam_A, dtype=float)
     flux = np.array(flux, dtype=float)

@@ -147,6 +147,12 @@ class GridIndex(NamedTuple):
 def build_grid_index(grid) -> GridIndex:
     """Host-side: per-column sorted z-edge ladders + cell map."""
     ncol = grid.n_columns
+    # the packed fast path stores column/cell ids as f32 (one row gather
+    # in the walk loop); f32 integers are exact only below 2**24
+    if grid.n_cells >= (1 << 24) or ncol >= (1 << 24):
+        raise ValueError(
+            f"grid too large for the packed f32 locate tables "
+            f"(n_cells={grid.n_cells}, ncol={ncol} must be < 2**24)")
     nz = np.diff(grid.col_ptr)
     max_nz = int(nz.max())
     z_edges = np.full((ncol, max_nz + 1), np.inf)

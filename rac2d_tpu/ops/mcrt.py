@@ -94,6 +94,14 @@ class McTallies(NamedTuple):
     collector_img: jnp.ndarray  # [n_mu, n_r, n_phi, nlam]
     mrw_path: jnp.ndarray       # [n_cells] en-weighted MRW path (AU);
                                 # folded into flux/en_gain at pass end
+    en_gain_mrw: jnp.ndarray    # [n_dust, n_cells] MRW absorption beyond
+                                # the lam >= mrw_lam_min flux window: the
+                                # recorded MRW flux deposit is truncated
+                                # to the IR bins, but the absorbed energy
+                                # must use the FULL Planck mean (ADVICE
+                                # r3: hot thick cells lose the <1 um tail
+                                # otherwise); accumulated at fold time,
+                                # added back in _en_gain_from_flux
 
     @staticmethod
     def zeros(n_cells, nlam, n_dust, n_mu, n_r=8, n_phi=8):
@@ -104,7 +112,7 @@ class McTallies(NamedTuple):
                          z((n_dust, n_cells)), z((n_dust, n_cells)),
                          z(n_cells), z(n_cells), z((n_mu, nlam)),
                          z((n_mu, n_r, n_phi, nlam)),
-                         z(n_cells))
+                         z(n_cells), z((n_dust, n_cells)))
 
 
 class Packets(NamedTuple):
@@ -282,16 +290,21 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
     # --- Lyman-alpha cross-section LUT --------------------------------
     # The Humlicek Voigt chain (complex rationals + exp) costs ~5 ms per
     # walk step at B~2e5 (tools/probe_walk_bisect.py); precompute
-    # sigma(lam_bin, T_bin) once per walk program and replace the in-loop
-    # evaluation with one flat gather.  256 log-spaced T bins over
-    # [1, 16000] K keep the nearest-bin width error under ~1%.
-    _N_TLYA = 256
-    _lnT_lo = jnp.log(jnp.asarray(1.0, F))
-    _inv_dlnT_lya = jnp.asarray(
-        (_N_TLYA - 1) / (jnp.log(16000.0) - 0.0), F)
+    # sigma(lam_bin, T_bin) once per walk program.  512 log-spaced T
+    # bins over [1, 1e5] K (covers X-ray-heated atmospheres; the
+    # reference evaluates Voigt at the exact per-cell Tgas,
+    # update_gl_optical_OTF montecarlo.f90:271) with LINEAR interpolation
+    # in ln T between adjacent bins; the two endpoints are pair-packed so
+    # the in-loop cost stays ONE row gather.
+    _N_TLYA = 512
+    _lnT_lo = jnp.asarray(0.0, F)
+    _inv_dlnT_lya = jnp.asarray((_N_TLYA - 1) / jnp.log(1.0e5), F)
     _T_bins = jnp.exp(jnp.arange(_N_TLYA, dtype=F) / _inv_dlnT_lya)
-    lya_lut = optics.lya_sigma(lam_grid[:, None],
-                               _T_bins[None, :]).astype(F).reshape(-1)
+    _lut2d = optics.lya_sigma(lam_grid[:, None],
+                              _T_bins[None, :]).astype(F)    # [nlam, N]
+    lya_pair = jnp.stack(
+        [_lut2d, jnp.concatenate([_lut2d[:, 1:], _lut2d[:, -1:]], 1)],
+        axis=-1).reshape(-1, 2)
 
     # --- Modified Random Walk per-cell precomputation -----------------
     # (Min et al. 2009; no analogue in the reference, which walks every
@@ -395,9 +408,12 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
 
         using = using_c & in_grid
         trow = tabmat[ilam]                              # [B, K]
-        iT_lya = jnp.clip(((jnp.log(Tg) - _lnT_lo) * _inv_dlnT_lya
-                           + 0.5).astype(jnp.int32), 0, _N_TLYA - 1)
-        sigma_lya = lya_lut[ilam * _N_TLYA + iT_lya]
+        tT = jnp.clip((jnp.log(Tg) - _lnT_lo) * _inv_dlnT_lya,
+                      0.0, _N_TLYA - 1.0)
+        iT_lya = tT.astype(jnp.int32)
+        fT = tT - iT_lya.astype(F)
+        sl_pair = lya_pair[ilam * _N_TLYA + iT_lya]      # [B, 2]
+        sigma_lya = sl_pair[:, 0] * (1.0 - fT) + sl_pair[:, 1] * fT
         ab_gas = trow[:, 0] * n_gas
         sc_gas = trow[:, 1] * n_gas + sigma_lya * n_HI
         ab_h2o = trow[:, 2] * n_H2O
@@ -619,7 +635,7 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
                         ab_en_water=tl.ab_en_water,
                         cr_count=cr_count, collector=tl.collector,
                         collector_img=tl.collector_img,
-                        mrw_path=mrw_path)
+                        mrw_path=mrw_path, en_gain_mrw=tl.en_gain_mrw)
         return (step + 1, key, pk2, tl2)
 
     step0 = jnp.array(0)
@@ -635,7 +651,7 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
     if finalize:
         if use_mrw:
             tallies = _mrw_fold_tallies(tallies, rho_kapP, cells,
-                                        lam_grid, mrw_lam_min)
+                                        lam_grid, mrw_lam_min, tab.kab)
         tallies = _fold_terminal(model, packets, tallies, n_mu)
         tallies = _en_gain_from_flux(model, tallies)
     return key_out, packets, tallies
@@ -713,27 +729,52 @@ fold_terminal_tallies = jax.jit(_fold_terminal, static_argnums=(3,),
                                 donate_argnums=(2,))
 
 
-def _mrw_fold_tallies(tallies, rho_kapP, cells, lam_grid, mrw_lam_min):
+def _mrw_fold_tallies(tallies, rho_kapP, cells, lam_grid, mrw_lam_min,
+                      kab):
     """Deposit the accumulated MRW path tally as local-blackbody flux
-    and Planck-mean absorbed energy (see _mc_walk MRW notes)."""
+    and Planck-mean absorbed energy (see _mc_walk MRW notes).
+
+    The RECORDED flux deposit is truncated to lam >= mrw_lam_min (the
+    local-blackbody J assumption only holds in the IR where the cell is
+    optically thick; short-lambda bins must not be polluted — they feed
+    photochemistry).  The ABSORBED energy, however, must integrate the
+    full Planck mean (each component's own kap_P(Tbar); ADVICE r3), so
+    the below-cutoff part of the contraction accumulates separately in
+    en_gain_mrw and is added back by _en_gain_from_flux."""
     from ..utils import planck
     mp = tallies.mrw_path                           # [n_cells] AU*en
     wsum = jnp.maximum(rho_kapP.sum(0), 1e-30)
     Tbar = (rho_kapP * cells.Tdust).sum(0) / wsum
     dlam = jnp.concatenate([jnp.diff(lam_grid), jnp.diff(lam_grid)[-1:]])
     lam_cm_mid = (lam_grid + 0.5 * dlam) * jnp.asarray(c.Angstrom2cm, F)
-    ir = lam_grid >= mrw_lam_min                     # f32-safe lam^5
+    ir = lam_grid >= mrw_lam_min
     Bm = planck.B_lambda(Tbar[:, None], lam_cm_mid[None, :])
-    w = jnp.where(ir[None, :], Bm * dlam[None, :], 0.0)
-    w = w / jnp.maximum(w.sum(1, keepdims=True), 1e-30)
+    # f32 B_lambda overflows (c1/lam^5 vs exp) at small lam / small T:
+    # those bins carry no Planck weight — zero them instead of letting
+    # inf/nan poison the full-row weights
+    Bm = jnp.where(jnp.isfinite(Bm), Bm, 0.0)
+    wf = Bm * dlam[None, :]
+    wf = wf / jnp.maximum(wf.sum(1, keepdims=True), 1e-30)  # full Planck
+    w = jnp.where(ir[None, :], wf, 0.0)
+    w = w / jnp.maximum(w.sum(1, keepdims=True), 1e-30)     # restricted
+    # absorbed-energy residual: what the flux contraction will MISS by
+    # depositing w instead of wf (X-ray dust rider omitted: Planck
+    # weight in the X-ray band is zero for any Tbar here)
+    dw = wf - w                                      # [n_cells, nlam]
+    au = jnp.asarray(c.AU2cm, F)
+    resid = jnp.stack([
+        mp * jnp.asarray(cells.rho_dust[i], F)
+        * (dw @ jnp.asarray(kab[i], F)) * au
+        for i in range(rho_kapP.shape[0])])
     # mrw_path is CONSUMED by the fold (zeroed): tallies accumulate
     # across ladder slices, and a later slice's fold must not re-deposit
-    # an earlier slice's already-folded path.  The absorbed energy is
-    # NOT deposited here: en_gain is derived from the folded flux by
-    # _en_gain_from_flux (contracting the blackbody deposit against the
-    # dust extinction recovers en*path*rho_i*kappa_P,i).
+    # an earlier slice's already-folded path.  The in-window absorbed
+    # energy is NOT deposited here: en_gain is derived from the folded
+    # flux by _en_gain_from_flux (contracting the blackbody deposit
+    # against the dust extinction recovers en*path*rho_i*kappa_P,i).
     return tallies._replace(
         flux=tallies.flux + mp[:, None] * w,
+        en_gain_mrw=tallies.en_gain_mrw + resid,
         mrw_path=jnp.zeros_like(mp))
 
 
@@ -775,7 +816,11 @@ def _en_gain_from_flux(model: McModel, tallies: McTallies) -> McTallies:
                 jnp.asarray(cells.grain_a, F)[:, None], jnp)
             ab = ab + f * sraw * n_gas[:, None]
         gains.append((flux * ab).sum(1) * jnp.asarray(c.AU2cm, F))
-    return tallies._replace(en_gain=jnp.stack(gains))
+    # + the MRW full-Planck residual (below-cutoff absorption the
+    # truncated flux deposit cannot carry); en_gain_mrw accumulates
+    # across slices, so the overall map stays idempotent per pass
+    return tallies._replace(
+        en_gain=jnp.stack(gains) + tallies.en_gain_mrw.astype(F))
 
 
 @partial(jax.jit, static_argnames=("mrw_lam_min",), donate_argnums=(1,))
@@ -794,7 +839,8 @@ def _mc_mrw_finalize(model: McModel, tallies: McTallies,
                                    axis=1) * rho_dust
     cells_f = cells._replace(Tdust=Tdust)
     return _mrw_fold_tallies(tallies, rho_kapP, cells_f,
-                             jnp.asarray(tab.lam, F), mrw_lam_min)
+                             jnp.asarray(tab.lam, F), mrw_lam_min,
+                             tab.kab)
 
 
 def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
