@@ -149,10 +149,11 @@ def build_grid_index(grid) -> GridIndex:
     ncol = grid.n_columns
     # the packed fast path stores column/cell ids as f32 (one row gather
     # in the walk loop); f32 integers are exact only below 2**24
-    if grid.n_cells >= (1 << 24) or ncol >= (1 << 24):
+    n_cells_tot = len(np.asarray(grid.zmin))
+    if n_cells_tot >= (1 << 24) or ncol >= (1 << 24):
         raise ValueError(
             f"grid too large for the packed f32 locate tables "
-            f"(n_cells={grid.n_cells}, ncol={ncol} must be < 2**24)")
+            f"(n_cells={n_cells_tot}, ncol={ncol} must be < 2**24)")
     nz = np.diff(grid.col_ptr)
     max_nz = int(nz.max())
     z_edges = np.full((ncol, max_nz + 1), np.inf)

@@ -128,6 +128,13 @@ class Packets(NamedTuple):
     tau: jnp.ndarray        # remaining optical depth to next event
     status: jnp.ndarray     # int32
     e_count: jnp.ndarray    # int32 encounter counter
+    # per-lane xorshift128 state (walk RNG): seeded once at launch from
+    # the threefry key, threads through walk chunks and compactions so
+    # chunked execution stays bit-identical to a single program
+    rs0: jnp.ndarray = None  # uint32
+    rs1: jnp.ndarray = None
+    rs2: jnp.ndarray = None
+    rs3: jnp.ndarray = None
 
 
 def _unit_sphere_dir(key, n, minw=-1.0, maxw=1.0):
@@ -215,6 +222,115 @@ def _cellmat_layout(n_dust):
     }
 
 
+class _WalkSetup:
+    """Shared per-walk-program precomputation (both walk impls)."""
+
+    def __init__(self, model: McModel, n_quantile: int, use_mrw: bool):
+        tab = model.tab
+        # the walk runs in F (f32): cast cell state + optical tables
+        # once.  gi and lam_seg carry f64 numpy leaves (host-precision
+        # builds); used as-is they would silently promote every locate /
+        # lam_to_bin in the loop body to EMULATED f64 on TPU (~10x the
+        # op count — measured, tools/probe_walk_cost.py).
+        self.gi = model.gi._replace(
+            r_edges=jnp.asarray(model.gi.r_edges, F),
+            z_edges=jnp.asarray(model.gi.z_edges, F))
+        s = tab.lam_seg
+        self.seg = s._replace(
+            log0=jnp.asarray(s.log0, F), inv_d=jnp.asarray(s.inv_d, F),
+            b_mid=jnp.asarray(s.b_mid, F), b_lya=jnp.asarray(s.b_lya, F),
+            b_high=jnp.asarray(s.b_high, F),
+            lya_inv_d=jnp.asarray(s.lya_inv_d, F))
+        self.cells = model.cells._replace(**{
+            f: jnp.asarray(getattr(model.cells, f), F)
+            for f in ("rmin", "rmax", "zmin", "zmax", "n_gas", "n_HI",
+                      "n_H2O", "Tgas", "rho_dust", "dust_depletion",
+                      "d2h", "grain_a", "Tdust", "abso_wei")})
+        cells = self.cells
+        self.lam_grid = jnp.asarray(tab.lam, F)
+        self.nlam = self.lam_grid.shape[0]
+        self.n_cells = cells.rmin.shape[0]
+        self.n_dust = cells.rho_dust.shape[0]
+        self.lam_lo = self.lam_grid[0]
+        self.lam_hi = self.lam_grid[-1]
+        self.xr_lo = c.lam_range_Xray[0] / c.Angstrom2micron
+        self.xr_hi = c.lam_range_Xray[1] / c.Angstrom2micron
+
+        # --- Tdust LUT index in closed form (log-uniform grid) --------
+        self.lut_Tds = jnp.asarray(tab.lut_Tds, F)
+        self.nT = self.lut_Tds.shape[0]
+        self._lnT0 = jnp.log(self.lut_Tds[0])
+        self._inv_dlnT = (self.nT - 1) / (jnp.log(self.lut_Tds[-1])
+                                          - self._lnT0)
+
+        # --- reemission wavelengths pre-baked: one flat gather --------
+        self.reemit_lam = self.lam_grid[
+            jnp.asarray(tab.reemit_q)].reshape(-1)
+
+        # --- Lyman-alpha sigma(lam-bin, T-bin) pair LUT (see the loop
+        # impl's notes; linear interpolation in ln T, one row gather)
+        self.N_TLYA = 512
+        self.lnT_lo_lya = jnp.asarray(0.0, F)
+        self.inv_dlnT_lya = jnp.asarray(
+            (self.N_TLYA - 1) / jnp.log(1.0e5), F)
+        _T_bins = jnp.exp(jnp.arange(self.N_TLYA, dtype=F)
+                          / self.inv_dlnT_lya)
+        lut2d = optics.lya_sigma(self.lam_grid[:, None],
+                                 _T_bins[None, :]).astype(F)
+        self.lya_pair = jnp.stack(
+            [lut2d,
+             jnp.concatenate([lut2d[:, 1:], lut2d[:, -1:]], 1)],
+            axis=-1)                                  # [nlam, NT, 2]
+
+        # --- Modified Random Walk per-cell precomputation -------------
+        # (Min et al. 2009; no analogue in the reference, which walks
+        # every scattering event, montecarlo.f90:577.)
+        itd_cell = optics.tdust_bin(self.lut_Tds, cells.Tdust)
+        kap_trR = jnp.asarray(tab.kap_trR, F)
+        kap_P = jnp.asarray(tab.kap_P, F)
+        self.rho_kaptr = jnp.take_along_axis(kap_trR, itd_cell, axis=1) \
+            * cells.rho_dust
+        self.rho_kapP = jnp.take_along_axis(kap_P, itd_cell, axis=1) \
+            * cells.rho_dust
+        mrw_inv_mfp = self.rho_kaptr.sum(0)
+        mrw_idom = jnp.argmax(self.rho_kapP, axis=0)
+        mrw_itd = jnp.take_along_axis(itd_cell, mrw_idom[None, :],
+                                      axis=0)[0]
+        mrw_base = ((mrw_idom * self.nT + mrw_itd)
+                    * n_quantile).astype(F)
+        self.mrw_lnx = jnp.asarray(tab.mrw_lnx, F)
+        self.n_mrw = self.mrw_lnx.shape[0]
+
+        # --- packed per-cell matrix (ONE row gather per step) ---------
+        self.L = _cellmat_layout(self.n_dust)
+        cols = [cells.rmin, cells.rmax, cells.zmin, cells.zmax,
+                cells.using.astype(F), cells.n_gas, cells.n_HI,
+                cells.n_H2O, cells.Tgas, cells.dust_depletion, cells.d2h,
+                cells.grain_a]
+        for i in range(self.n_dust):
+            cols += [cells.rho_dust[i], cells.Tdust[i],
+                     cells.abso_wei[i]]
+        cols += [mrw_inv_mfp, mrw_base]
+        self.cellmat = jnp.stack(cols, axis=1)        # [n_cells, C]
+
+        # --- per-lambda-bin optics columns ----------------------------
+        tcols = [jnp.asarray(tab.xr_gas_abs, F),
+                 jnp.asarray(tab.xr_gas_sca, F),
+                 jnp.asarray(tab.sigma_h2o, F),
+                 jnp.asarray(tab.xr_dus_abs0, F),
+                 jnp.asarray(tab.xr_dus_sca, F)]
+        for i in range(self.n_dust):
+            tcols += [jnp.asarray(tab.kab[i], F),
+                      jnp.asarray(tab.ksc[i], F),
+                      jnp.asarray(tab.g[i], F)]
+        self.tabmat = jnp.stack(tcols, axis=1)        # [nlam, K]
+
+    def tdust_idx(self, Td):
+        t = (jnp.log(jnp.maximum(Td, 1e-30)) - self._lnT0) \
+            * self._inv_dlnT
+        return jnp.clip(jnp.ceil(t), 0, self.nT - 1).astype(jnp.int32)
+
+
 @partial(jax.jit,
          static_argnames=("max_steps", "n_quantile", "n_mu",
                           "nmax_encounter", "use_mrw", "mrw_gamma",
@@ -227,141 +343,104 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
              mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4,
              finalize: bool = True, save_dir: bool = False,
              save_counts: bool = True):
-    """One bounded device program: advance all packets up to max_steps
-    walk iterations.  Returns (key', packets, tallies); with
-    finalize=False the MRW path tally is NOT yet folded into the flux
-    and terminal tallies (collector bins, water) are NOT yet collected —
-    callers loop this and fold once at the end (see mc_pass_hosted).
+    """One bounded device program: advance all packets by EXACTLY
+    max_steps walk iterations (lax.scan; terminated lanes are masked).
+    Returns (key', packets, tallies); with finalize=False the MRW path
+    tally is NOT yet folded into the flux and terminal tallies
+    (collector bins, water) are NOT yet collected — callers loop this
+    and fold once at the end (see mc_pass_hosted).
 
-    TPU cost model (measured, tools/probe_loop_ops*.py): inside a
-    while_loop every B-indexed gather/scatter costs ~1 ms at B~1e5
-    almost independent of row width, and searchsorted ~3-10 ms; plain
-    elementwise work is ~free.  The body is therefore organized around
-    a MINIMAL number of indexed ops: one packed cell-row gather, one
-    packed lambda-row gather, closed-form bin indices (optics.lam_to_bin
-    / log-uniform Tdust LUT), a single fused RNG draw, and one scatter
-    per physically distinct tally.  Escaped-packet collector binning and
-    water-absorption deposits happen OUTSIDE the loop entirely
-    (fold_terminal_tallies) since they are once-per-packet events whose
-    state is frozen in the terminated lanes.
+    TPU cost model (measured round 3/4, tools/probe_loop_ops*.py and
+    tools/probe_walk_v4.py): inside a loop body every B-indexed
+    gather/scatter with carry-dependent indices costs ~5-7 ns per LANE
+    regardless of row width or batch size (B-independent latency floor
+    ~1 ms below B~1e5), while the same scatter AFTER the loop costs
+    ~0.2 ns/lane; elementwise work is ~free.  The body is therefore
+    organized around a MINIMAL count of in-loop indexed ops — FIVE:
+      1. packed cell-row gather (geometry + densities + MRW fields),
+      2. fused lambda x T row gather (optics columns + interpolated
+         Lyman-alpha sigma pair),
+      3. reemission-wavelength flat gather,
+      4. the two-row-gather packed locate (geometry.locate),
+      5. one packed (index, weight) event-log row per step (scan
+         stacking) — the actual scatter-adds happen once per program
+         on the stacked log.
+    plus the MRW first-passage flat gather when use_mrw.  The RNG is a
+    per-lane xorshift128 (elementwise) carried in Packets.  Closed-form
+    bin indices everywhere (optics.lam_to_bin / log-uniform Tdust LUT).
+    Escaped-packet collector binning and water-absorption deposits
+    happen outside the walk entirely (fold_terminal_tallies) since they
+    are once-per-packet events whose state is frozen in the terminated
+    lanes.
     """
     tab = model.tab
-    # the walk runs in F (f32): cast cell state + optical tables once.
-    # gi and lam_seg carry f64 numpy leaves (host-precision builds);
-    # used as-is they would silently promote every locate / lam_to_bin
-    # in the loop body to EMULATED f64 on TPU (~10x the op count —
-    # measured ~15 ms/step of the walk cost, tools/probe_walk_cost.py).
-    gi = model.gi._replace(
-        r_edges=jnp.asarray(model.gi.r_edges, F),
-        z_edges=jnp.asarray(model.gi.z_edges, F))
-    s = tab.lam_seg
-    seg = s._replace(
-        log0=jnp.asarray(s.log0, F), inv_d=jnp.asarray(s.inv_d, F),
-        b_mid=jnp.asarray(s.b_mid, F), b_lya=jnp.asarray(s.b_lya, F),
-        b_high=jnp.asarray(s.b_high, F),
-        lya_inv_d=jnp.asarray(s.lya_inv_d, F))
-    cells = model.cells._replace(**{
-        f: jnp.asarray(getattr(model.cells, f), F)
-        for f in ("rmin", "rmax", "zmin", "zmax", "n_gas", "n_HI", "n_H2O",
-                  "Tgas", "rho_dust", "dust_depletion", "d2h", "grain_a",
-                  "Tdust", "abso_wei")})
-    lam_grid = jnp.asarray(tab.lam, F)
-    nlam = lam_grid.shape[0]
-    n_cells = cells.rmin.shape[0]
-    n_dust = cells.rho_dust.shape[0]
-    lam_lo = lam_grid[0]
-    lam_hi = lam_grid[-1]
-    xr_lo = c.lam_range_Xray[0] / c.Angstrom2micron
-    xr_hi = c.lam_range_Xray[1] / c.Angstrom2micron
+    ws = _WalkSetup(model, n_quantile, use_mrw)
+    gi, seg, cells = ws.gi, ws.seg, ws.cells
+    lam_grid, nlam = ws.lam_grid, ws.nlam
+    n_cells, n_dust = ws.n_cells, ws.n_dust
+    lam_lo, lam_hi = ws.lam_lo, ws.lam_hi
+    xr_lo, xr_hi = ws.xr_lo, ws.xr_hi
+    lut_Tds, nT = ws.lut_Tds, ws.nT
+    tdust_idx = ws.tdust_idx
+    reemit_lam = ws.reemit_lam
+    _N_TLYA = ws.N_TLYA
+    _lnT_lo = ws.lnT_lo_lya
+    _inv_dlnT_lya = ws.inv_dlnT_lya
+    lya_pair = ws.lya_pair.reshape(-1, 2)
+    rho_kapP = ws.rho_kapP
+    mrw_lnx, n_mrw = ws.mrw_lnx, ws.n_mrw
+    L = ws.L
+    cellmat, tabmat = ws.cellmat, ws.tabmat
 
-    # --- Tdust LUT index in closed form (log-uniform grid) ------------
-    lut_Tds = jnp.asarray(tab.lut_Tds, F)
-    nT = lut_Tds.shape[0]
-    lnT0 = jnp.log(lut_Tds[0])
-    inv_dlnT = (nT - 1) / (jnp.log(lut_Tds[-1]) - lnT0)
+    # round-4 rebuild: the body runs under lax.scan with NO tallies in
+    # the carry.  Each step EMITS a packed (index, weight) event-log row
+    # (scan output stacking — one indexed op); the scatter-adds happen
+    # ONCE after the scan, where they cost ~0.2 ns/element instead of
+    # the in-loop ~5-7 ns/element (tools/probe_walk_v4.py).  RNG is a
+    # carried per-lane xorshift128 with multiplicative output scrambling
+    # (pure VPU, ~free) seeded per walk call from the threefry key —
+    # the in-loop threefry draw alone cost ~4 ns/lane-step.
+    B = packets.x.shape[0]
+    NCL = n_cells * nlam
+    SINK_A = NCL + n_cells          # masked lanes scatter here
+    nlam_i32 = jnp.asarray(nlam, jnp.int32)
+    # body bisection for the cost probes (tools/probe_walk_cost.py):
+    # static at trace time, empty in production
+    import os as _os
+    _disable = set(filter(None, _os.environ.get(
+        "RAC2D_MC_DISABLE", "").split(",")))
 
-    def tdust_idx(Td):
-        t = (jnp.log(jnp.maximum(Td, 1e-30)) - lnT0) * inv_dlnT
-        return jnp.clip(jnp.ceil(t), 0, nT - 1).astype(jnp.int32)
+    def _xs_draws(st, n):
+        """n xorshift128 draws per lane; returns ([n, B] f32 in [0,1),
+        new state).  Marsaglia xorshift128 + Knuth multiplicative
+        scramble, top 24 bits -> f32."""
+        s0, s1, s2, s3 = st
+        outs = []
+        for _ in range(n):
+            t = s3 ^ (s3 << jnp.uint32(11))
+            t = t ^ (t >> jnp.uint32(8))
+            t = t ^ s0 ^ (s0 >> jnp.uint32(19))
+            s3, s2, s1, s0 = s2, s1, s0, t
+            outs.append(((t * jnp.uint32(2654435761))
+                         >> jnp.uint32(8)).astype(F)
+                        * jnp.asarray(1.0 / (1 << 24), F))
+        return jnp.stack(outs), (s0, s1, s2, s3)
 
-    # --- reemission wavelengths pre-baked: one flat gather ------------
-    reemit_lam = lam_grid[jnp.asarray(tab.reemit_q)].reshape(-1)
-
-    # --- Lyman-alpha cross-section LUT --------------------------------
-    # The Humlicek Voigt chain (complex rationals + exp) costs ~5 ms per
-    # walk step at B~2e5 (tools/probe_walk_bisect.py); precompute
-    # sigma(lam_bin, T_bin) once per walk program.  512 log-spaced T
-    # bins over [1, 1e5] K (covers X-ray-heated atmospheres; the
-    # reference evaluates Voigt at the exact per-cell Tgas,
-    # update_gl_optical_OTF montecarlo.f90:271) with LINEAR interpolation
-    # in ln T between adjacent bins; the two endpoints are pair-packed so
-    # the in-loop cost stays ONE row gather.
-    _N_TLYA = 512
-    _lnT_lo = jnp.asarray(0.0, F)
-    _inv_dlnT_lya = jnp.asarray((_N_TLYA - 1) / jnp.log(1.0e5), F)
-    _T_bins = jnp.exp(jnp.arange(_N_TLYA, dtype=F) / _inv_dlnT_lya)
-    _lut2d = optics.lya_sigma(lam_grid[:, None],
-                              _T_bins[None, :]).astype(F)    # [nlam, N]
-    lya_pair = jnp.stack(
-        [_lut2d, jnp.concatenate([_lut2d[:, 1:], _lut2d[:, -1:]], 1)],
-        axis=-1).reshape(-1, 2)
-
-    # --- Modified Random Walk per-cell precomputation -----------------
-    # (Min et al. 2009; no analogue in the reference, which walks every
-    # scattering event, montecarlo.f90:577.)  Per cell at the FROZEN
-    # pass Tdust: inverse transport mfp (Rosseland), Planck-mean
-    # absorption per dust component, and the dominant emitter's
-    # reemission-table base index.
-    itd_cell = optics.tdust_bin(lut_Tds, cells.Tdust)   # [n_dust, n_cells]
-    kap_trR = jnp.asarray(tab.kap_trR, F)                # [n_dust, nT]
-    kap_P = jnp.asarray(tab.kap_P, F)
-    rho_kaptr = jnp.take_along_axis(kap_trR, itd_cell, axis=1) \
-        * cells.rho_dust                                 # [n_dust, n_cells]
-    rho_kapP = jnp.take_along_axis(kap_P, itd_cell, axis=1) \
-        * cells.rho_dust
-    mrw_inv_mfp = rho_kaptr.sum(0)                       # [n_cells] 1/cm
-    mrw_idom = jnp.argmax(rho_kapP, axis=0)              # [n_cells]
-    mrw_itd = jnp.take_along_axis(itd_cell, mrw_idom[None, :],
-                                  axis=0)[0]
-    mrw_base = ((mrw_idom * nT + mrw_itd) * n_quantile).astype(F)
-    mrw_lnx = jnp.asarray(tab.mrw_lnx, F)
-    n_mrw = mrw_lnx.shape[0]
-
-    # --- packed per-cell matrix (ONE row gather per step) -------------
-    L = _cellmat_layout(n_dust)
-    cols = [cells.rmin, cells.rmax, cells.zmin, cells.zmax,
-            cells.using.astype(F), cells.n_gas, cells.n_HI, cells.n_H2O,
-            cells.Tgas, cells.dust_depletion, cells.d2h, cells.grain_a]
-    for i in range(n_dust):
-        cols += [cells.rho_dust[i], cells.Tdust[i], cells.abso_wei[i]]
-    cols += [mrw_inv_mfp, mrw_base]
-    cellmat = jnp.stack(cols, axis=1)                    # [n_cells, C]
-
-    # --- packed per-lambda-bin matrix (ONE row gather per step) -------
-    tcols = [jnp.asarray(tab.xr_gas_abs, F), jnp.asarray(tab.xr_gas_sca, F),
-             jnp.asarray(tab.sigma_h2o, F), jnp.asarray(tab.xr_dus_abs0, F),
-             jnp.asarray(tab.xr_dus_sca, F)]
-    for i in range(n_dust):
-        tcols += [jnp.asarray(tab.kab[i], F), jnp.asarray(tab.ksc[i], F),
-                  jnp.asarray(tab.g[i], F)]
-    tabmat = jnp.stack(tcols, axis=1)                    # [nlam, K]
-
-    def cond(state):
-        step, key, pk, tl = state
-        return (step < max_steps) & jnp.any(pk.status == ST_ACTIVE)
-
-    def body(state):
-        step, key, pk, tl = state
-        key, k_u = jax.random.split(key)
-        # single fused draw: one RNG op instead of ~8 (each ~0.5 ms)
-        u = jax.random.uniform(k_u, (10,) + pk.x.shape, F)
+    def body(carry, _):
+        pk, rng = carry
+        if "rng" in _disable:
+            u = jnp.full((10, B), 0.5, F)
+        else:
+            u, rng = _xs_draws(rng, 10)
         u_tau = jnp.maximum(u[0], 1e-12)
         u_ev, u_d1, u_d2, u_q = u[1], u[2], u[3], u[4]
         active = pk.status == ST_ACTIVE
-        B = pk.x.shape[0]
 
         cell = jnp.clip(pk.cell, 0, n_cells - 1)
-        crow = cellmat[cell]                             # [B, C]
+        if "cellgather" in _disable:
+            crow = jnp.broadcast_to(cellmat[0], (B,) + cellmat[0].shape)
+        else:
+            crow = cellmat[cell]                         # [B, C]
         rmin = crow[:, L["rmin"]]
         rmax = crow[:, L["rmax"]]
         zmin = crow[:, L["zmin"]]
@@ -392,8 +471,14 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
             mrw = jnp.zeros(B, bool)
             R0 = jnp.zeros(B, F)
 
-        length, eps, dirtype, found = geometry.ray_cell_exit_mirror(
-            pk.x, pk.y, pk.z, pk.vx, pk.vy, pk.vz, rmin, rmax, zmin, zmax)
+        if "geom" in _disable:
+            length = jnp.full(B, 0.01, F)
+            eps = jnp.full(B, 1e-5, F)
+            found = jnp.ones(B, bool)
+        else:
+            length, eps, _dirtype, found = geometry.ray_cell_exit_mirror(
+                pk.x, pk.y, pk.z, pk.vx, pk.vy, pk.vz, rmin, rmax, zmin,
+                zmax)
         # a packet whose ray misses its own cell (numerical corner case)
         # ends as "premature" rather than spinning the batch loop
         # (reference counts these too, montecarlo.f90:502-504)
@@ -407,12 +492,22 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         in_grid = (lam_local >= lam_lo) & (lam_local < lam_hi)
 
         using = using_c & in_grid
-        trow = tabmat[ilam]                              # [B, K]
+        # separate small-table gathers beat one fused (ilam x iT) row
+        # gather here: gather cost grows with TABLE SIZE, not just op
+        # count (measured round 4 — [538,12] row 4.3 ns/lane vs
+        # [275k,12] row 12.2 ns/lane)
+        if "tabgather" in _disable:
+            trow = jnp.broadcast_to(tabmat[0], (B,) + tabmat[0].shape)
+        else:
+            trow = tabmat[ilam]                          # [B, K]
         tT = jnp.clip((jnp.log(Tg) - _lnT_lo) * _inv_dlnT_lya,
                       0.0, _N_TLYA - 1.0)
         iT_lya = tT.astype(jnp.int32)
         fT = tT - iT_lya.astype(F)
-        sl_pair = lya_pair[ilam * _N_TLYA + iT_lya]      # [B, 2]
+        if "lyagather" in _disable:
+            sl_pair = jnp.broadcast_to(lya_pair[0], (B, 2))
+        else:
+            sl_pair = lya_pair[ilam * _N_TLYA + iT_lya]  # [B, 2]
         sigma_lya = sl_pair[:, 0] * (1.0 - fT) + sl_pair[:, 1] * fT
         ab_gas = trow[:, 0] * n_gas
         sc_gas = trow[:, 1] * n_gas + sigma_lya * n_HI
@@ -447,28 +542,16 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         ny = pk.y + pk.vy * move_len
         nz = pk.z + pk.vz * move_len
 
-        # --- tallies (continuous estimators; reference walk :656-684) ---
-        # TPU scatter-adds cost ~1.5 ms per B elements in a loop body
-        # regardless of grouping (tools/probe_fused_scatter.py), so the
-        # walk scatters the MINIMUM element count: flux (+ MRW path).
-        # The per-dust absorbed energy is NOT tallied here — it is the
-        # flux contracted against the dust absorption extinction, done
-        # once per pass (en_gain_from_flux).  Count diagnostics
-        # (phc / cr_count / discrete-absorption tally) are opt-in.
+        # --- tally events -> log row (continuous estimators; reference
+        # walk :656-684).  The flux deposit and the MRW path deposit are
+        # per-lane DISJOINT (an MRW lane is not active), so one packed
+        # (index, weight) channel carries both; masked lanes hit the
+        # sink slot.  The per-dust absorbed energy is NOT tallied at
+        # all — it is the flux contracted against the dust absorption
+        # extinction once per pass (_en_gain_from_flux).
         tmask = active & using
         wflux = jnp.where(tmask, move_len * pk.en, 0.0)
-        flat = cell * nlam + ilam
-        flux = tl.flux.reshape(-1).at[flat].add(wflux).reshape(tl.flux.shape)
-        if save_counts:
-            phc = tl.phc.reshape(-1).at[flat].add(
-                jnp.where(tmask, 1.0, 0.0)).reshape(tl.phc.shape)
-        else:
-            phc = tl.phc
-        if save_dir:
-            dir_flux = tl.dir_flux.at[cell].add(
-                wflux[:, None] * jnp.stack([pk.vx, pk.vy, pk.vz], axis=1))
-        else:
-            dir_flux = tl.dir_flux
+        flat = cell * nlam_i32 + ilam
         # --- event selection ---
         probs = jnp.stack([ab_gas, sc_gas, ab_h2o, jnp.zeros_like(ab_h2o)]
                           + [x for pair in zip(ab_d, sc_d) for x in pair])
@@ -485,16 +568,6 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         ev_dust_abs = ev_dust & (ev % 2 == 0)
         ev_dust_sca = ev_dust & (ev % 2 == 1)
         dust_abs_keep = ev_dust_abs & ~is_x
-
-        # discrete dust absorption tally (non-X-ray); water deposits are
-        # terminal events folded outside the loop (fold_terminal_tallies)
-        if save_counts:
-            en_gain_abso = tl.en_gain_abso.reshape(-1).at[
-                idust_ev * n_cells + cell].add(
-                jnp.where(dust_abs_keep, pk.en, 0.0)).reshape(
-                tl.en_gain_abso.shape)
-        else:
-            en_gain_abso = tl.en_gain_abso
 
         # --- new directions ---
         phi = 2.0 * jnp.pi * u_d2
@@ -540,7 +613,10 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
                            0, n_quantile - 1)
             idx_mrw = crow[:, L["mrw_base"]].astype(jnp.int32) + iqm
             idx_re = jnp.where(mrw, idx_mrw, idx_re)
-        lam_re = reemit_lam[idx_re]
+        if "reemit" in _disable:
+            lam_re = jnp.full(B, reemit_lam[0], F)
+        else:
+            lam_re = reemit_lam[idx_re]
         cold = Td <= lut_Tds[0]
         new_lam = jnp.where(scatterish, lam_scat,
                             jnp.where(reemitish & ~cold, lam_re, pk.lam))
@@ -561,18 +637,19 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
                                ST_PREMATURE, new_status)
 
         # --- non-encounter: cross into next cell or escape ---
+        # (the two-gather packed locate; a single-gather variant with
+        # all three candidate zc rows per slot measured SLOWER — wide
+        # rows pay per element: [16k,564] 21.8 ns/lane vs
+        # [16k,3]+[200,187] 9.1 ns/lane)
         crossed = active & ~enc
         rsq_new = nx * nx + ny * ny
-        new_cell_loc = geometry.locate(gi, rsq_new, jnp.abs(nz))
+        if "locate" in _disable:
+            new_cell_loc = pk.cell
+        else:
+            new_cell_loc = geometry.locate(gi, rsq_new, jnp.abs(nz))
         escaped = crossed & (new_cell_loc < 0)
         new_status = jnp.where(escaped, ST_ESCAPED, new_status)
         new_cell = jnp.where(crossed, jnp.maximum(new_cell_loc, 0), pk.cell)
-
-        if save_counts:
-            cr_count = tl.cr_count.at[new_cell].add(
-                jnp.where(crossed & ~escaped, 1.0, 0.0))
-        else:
-            cr_count = tl.cr_count
 
         # new tau on encounter
         new_tau = jnp.where(enc, -jnp.log(u_tau), pk.tau - tau_this)
@@ -593,8 +670,8 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
             L_cm = jnp.maximum(
                 -3.0 * R0cm * R0cm * crow[:, L["mrw_inv_mfp"]] * lnx / pi2,
                 R0cm)
-            mrw_path = tl.mrw_path.at[cell].add(
-                jnp.where(mrw, L_cm / jnp.asarray(c.AU2cm, F) * pk.en, 0.0))
+            mrw_w = jnp.where(
+                mrw, L_cm / jnp.asarray(c.AU2cm, F) * pk.en, 0.0)
             mw = 2.0 * u[6] - 1.0
             mphi = 2.0 * jnp.pi * u[8]
             ms = jnp.sqrt(jnp.maximum(1.0 - mw * mw, 0.0))
@@ -607,7 +684,7 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
             lam_m = lam_re
             tau_m = -jnp.log(jnp.maximum(u[9], 1e-12))
         else:
-            mrw_path = tl.mrw_path
+            mrw_w = jnp.zeros(B, F)
 
         def sel(m_val, n_mask, n_val, old):
             out = jnp.where(n_mask, n_val, old)
@@ -615,7 +692,7 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
                 out = jnp.where(mrw, m_val, out)
             return out
 
-        pk2 = Packets(
+        pk2 = pk._replace(
             x=sel(xm if use_mrw else 0, active, nx, pk.x),
             y=sel(ym if use_mrw else 0, active, ny, pk.y),
             z=sel(zm if use_mrw else 0, active, nz, pk.z),
@@ -623,24 +700,84 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
             vy=sel(my if use_mrw else 0, enc, nvy, pk.vy),
             vz=sel(mz if use_mrw else 0, enc, nvz, pk.vz),
             lam=sel(lam_m if use_mrw else 0, enc, new_lam, pk.lam),
-            en=pk.en,
             cell=new_cell.astype(pk.cell.dtype),
             tau=sel(tau_m if use_mrw else 0, enc | crossed, new_tau,
                     pk.tau),
             status=new_status,
             e_count=e_count + mrw.astype(pk.e_count.dtype))
-        tl2 = McTallies(flux=flux, phc=phc, dir_flux=dir_flux,
-                        en_gain=tl.en_gain,
-                        en_gain_abso=en_gain_abso,
-                        ab_en_water=tl.ab_en_water,
-                        cr_count=cr_count, collector=tl.collector,
-                        collector_img=tl.collector_img,
-                        mrw_path=mrw_path, en_gain_mrw=tl.en_gain_mrw)
-        return (step + 1, key, pk2, tl2)
 
-    step0 = jnp.array(0)
-    _, key_out, packets, tallies = jax.lax.while_loop(
-        cond, body, (step0, key, packets, tallies))
+        # --- packed event-log rows (scan outputs, not carried) --------
+        iA = jnp.where(tmask, flat,
+                       jnp.where(mrw, NCL + cell,
+                                 jnp.asarray(SINK_A, jnp.int32))
+                       ).astype(jnp.int32)   # guard x64 int promotion
+        wA = jnp.where(tmask, wflux, mrw_w).astype(F)
+        if "log" in _disable:
+            iA = jnp.full(B, SINK_A, jnp.int32)
+            wA = jnp.zeros(B, F)
+        logA = jnp.stack(
+            [iA, jax.lax.bitcast_convert_type(wA, jnp.int32)])
+        ys = [logA]
+        if save_counts:
+            # discrete dust absorption (non-X-ray) | crossing counts
+            absoed = dust_abs_keep & active
+            inx = crossed & ~escaped
+            iB = jnp.where(
+                absoed, idust_ev * n_cells + cell,
+                jnp.where(inx, n_dust * n_cells + new_cell,
+                          jnp.asarray((n_dust + 1) * n_cells,
+                                      jnp.int32))).astype(jnp.int32)
+            wB = jnp.where(absoed, pk.en,
+                           jnp.where(inx, jnp.asarray(1.0, F), 0.0)
+                           ).astype(F)
+            ys.append(jnp.stack(
+                [iB, jax.lax.bitcast_convert_type(wB, jnp.int32)]))
+        if save_dir:
+            ys.append(jnp.stack([cell.astype(F), wflux * pk.vx,
+                                 wflux * pk.vy, wflux * pk.vz]))
+        return (pk2, rng), tuple(ys)
+
+    # the per-lane xorshift state lives in Packets (seeded at launch,
+    # threads through chunks/compactions -> chunked execution is
+    # bit-identical to one long program)
+    key_out = jax.random.fold_in(key, max_steps)
+    rng0 = (packets.rs0, packets.rs1, packets.rs2, packets.rs3)
+    (packets, rng1), logs = jax.lax.scan(
+        body, (packets, rng0), None, length=max_steps)
+    packets = packets._replace(rs0=rng1[0], rs1=rng1[1], rs2=rng1[2],
+                               rs3=rng1[3])
+
+    # --- fold the event logs into the tallies (out-of-loop scatters) --
+    logA = logs[0]
+    liA = logA[:, 0].reshape(-1)
+    lwA = jax.lax.bitcast_convert_type(logA[:, 1], F).reshape(-1)
+    extA = jnp.zeros(NCL + n_cells + 1, F).at[liA].add(lwA)
+    tallies = tallies._replace(
+        flux=tallies.flux + extA[:NCL].reshape(n_cells, nlam),
+        mrw_path=tallies.mrw_path + extA[NCL:NCL + n_cells])
+    ilog = 1
+    if save_counts:
+        phc_add = jnp.zeros(NCL + 1, F).at[
+            jnp.where(liA < NCL, liA, NCL)].add(
+            jnp.where(liA < NCL, 1.0, 0.0))
+        logB = logs[ilog]
+        ilog += 1
+        liB = logB[:, 0].reshape(-1)
+        lwB = jax.lax.bitcast_convert_type(logB[:, 1], F).reshape(-1)
+        extB = jnp.zeros((n_dust + 1) * n_cells + 1, F).at[liB].add(lwB)
+        tallies = tallies._replace(
+            phc=tallies.phc + phc_add[:NCL].reshape(n_cells, nlam),
+            en_gain_abso=tallies.en_gain_abso
+            + extB[:n_dust * n_cells].reshape(n_dust, n_cells),
+            cr_count=tallies.cr_count
+            + extB[n_dust * n_cells:(n_dust + 1) * n_cells])
+    if save_dir:
+        logD = logs[ilog]
+        dcell = logD[:, 0].reshape(-1).astype(jnp.int32)
+        dw = logD[:, 1:4].reshape(max_steps, 3, -1)
+        dw = jnp.moveaxis(dw, 1, 2).reshape(-1, 3)
+        tallies = tallies._replace(
+            dir_flux=tallies.dir_flux.at[dcell].add(dw))
 
     # --- fold the MRW path tally into the lambda-resolved flux and the
     # absorbed-energy tallies; collect terminal per-packet tallies
@@ -847,15 +984,20 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
             max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
             nmax_encounter: int = 50_000, use_mrw: bool = True,
             mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4,
-            save_dir: bool = False, save_counts: bool = True):
-    """Run one batch of packets to completion as a single device program;
-    returns (packets, tallies).  On hardware with a device-program
-    watchdog prefer mc_pass_hosted."""
-    _, packets, tallies = _mc_walk(
+            save_dir: bool = False, save_counts: bool = True,
+            steps_per_call: int = 256):
+    """Run one batch of packets to completion; returns
+    (packets, tallies).  A host loop over bounded scan programs (the
+    scan walk allocates its event-log buffers per program, so one
+    whole-pass program would be both watchdog- and memory-hostile);
+    bit-identical to any other chunking of the same packets because the
+    walk RNG state lives in the packets."""
+    packets, tallies, _ = mc_pass_hosted(
         model, key, packets, tallies, max_steps=max_steps,
-        n_quantile=n_quantile, n_mu=n_mu, nmax_encounter=nmax_encounter,
-        use_mrw=use_mrw, mrw_gamma=mrw_gamma, mrw_lam_min=mrw_lam_min,
-        finalize=True, save_dir=save_dir, save_counts=save_counts)
+        steps_per_call=steps_per_call, n_quantile=n_quantile, n_mu=n_mu,
+        nmax_encounter=nmax_encounter, use_mrw=use_mrw,
+        mrw_gamma=mrw_gamma, mrw_lam_min=mrw_lam_min,
+        save_dir=save_dir, save_counts=save_counts, compact=False)
     return packets, tallies
 
 
@@ -883,14 +1025,17 @@ def _compact_packets(packets: Packets, status: np.ndarray, tier: int):
 
 
 def packet_fates(status) -> dict:
-    """Fate counts of a packet batch, ignoring compaction padding."""
-    st = np.asarray(status)
-    return {name: int(np.isin(st, codes).sum())
+    """Fate counts of a packet batch, ignoring compaction padding.
+
+    Device-side reductions (replicated scalars), so it also works on a
+    multi-process global array whose full value no single host owns."""
+    st = jnp.asarray(status)
+    return {name: int(sum(jnp.sum(st == code) for code in codes))
             for name, codes in _FATE_GROUPS.items()}
 
 
 def mc_pass_hosted(model: McModel, key, packets: Packets,
-                   tallies: McTallies, steps_per_call: int = 1024,
+                   tallies: McTallies, steps_per_call: int = 256,
                    max_steps: int = 100_000, n_quantile: int = 512,
                    n_mu: int = 5, nmax_encounter: int = 50_000,
                    use_mrw: bool = True, mrw_gamma: float = 4.0,
@@ -929,13 +1074,18 @@ def mc_pass_hosted(model: McModel, key, packets: Packets,
             mrw_gamma=mrw_gamma, mrw_lam_min=mrw_lam_min,
             finalize=False, save_dir=save_dir, save_counts=save_counts)
         done += chunk
-        status = np.asarray(packets.status)
-        n_active = int((status == ST_ACTIVE).sum())
+        # device-side reduction (a replicated scalar): works even when
+        # the packet axis is sharded over a multi-process mesh, where no
+        # single host can materialize the full status array
+        n_active = int(jnp.sum(packets.status == ST_ACTIVE))
         if progress_cb is not None:
             progress_cb(done, n_active)
         if n_active == 0:
             break
         if compact:
+            # compaction needs the full status host-side (single-process
+            # only; mc_pass_sharded rejects compact)
+            status = np.asarray(packets.status)
             tier = status.shape[0]
             while tier // 8 >= max(2 * n_active, compact_floor):
                 tier //= 8
@@ -983,11 +1133,15 @@ def launch_packets(model: McModel, key, lam, en, minw, maxw):
     status = jnp.where(jnp.asarray(en) > 0.0, status, ST_PADDING)
     ktau, key = jax.random.split(key)
     tau = -jnp.log(jax.random.uniform(ktau, (B,), F, 1e-12, 1.0))
+    krs, key = jax.random.split(key)
+    rs = jax.random.bits(krs, (4, B), dtype=jnp.uint32)
     return Packets(x=x, y=y, z=z, vx=vx, vy=vy, vz=vz,
                    lam=jnp.asarray(lam, F), en=jnp.asarray(en, F),
                    cell=jnp.maximum(cell, 0).astype(jnp.int32), tau=tau,
                    status=status.astype(jnp.int32),
-                   e_count=jnp.zeros(B, dtype=jnp.int32))
+                   e_count=jnp.zeros(B, dtype=jnp.int32),
+                   rs0=rs[0] | jnp.uint32(1), rs1=rs[1], rs2=rs[2],
+                   rs3=rs[3])
 
 
 def update_tdust(tab: optics.McTables, cells: McCells,

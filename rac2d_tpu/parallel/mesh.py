@@ -40,9 +40,20 @@ def make_mesh(n_cells_shards=None, n_pkt_shards=None):
                 axis_names=("cells", "pkt"))
 
 
+def put_global(sharding, arr):
+    """device_put that also works MULTI-PROCESS: every process passes
+    the same host-global array and contributes only its addressable
+    shards (jax.device_put would reject non-addressable devices)."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    a = np.asarray(arr)
+    return jax.make_array_from_callback(a.shape, sharding,
+                                        lambda idx: a[idx])
+
+
 def shard_batch(mesh: Mesh, arr, axis="cells"):
     """Put an array with its leading axis sharded over `axis`."""
-    return jax.device_put(arr, NamedSharding(mesh, P(axis)))
+    return put_global(NamedSharding(mesh, P(axis)), arr)
 
 
 def replicate(mesh: Mesh, arr):
@@ -58,11 +69,11 @@ def sharded_chemistry_solve(mesh: Mesh, ode, envs, tenvs, y0b, T0b, touts,
     round loop."""
     flat = Mesh(mesh.devices.reshape(-1), axis_names=("d",))
     sh = NamedSharding(flat, P("d"))
-    put = lambda t: jax.tree.map(lambda a: jax.device_put(a, sh), t)
+    put = lambda t: jax.tree.map(lambda a: put_global(sh, a), t)
     envs = put(envs)
     tenvs = put(tenvs) if tenvs is not None else None
-    y0b = jax.device_put(y0b, sh)
-    T0b = jax.device_put(T0b, sh)
+    y0b = put_global(sh, y0b)
+    T0b = put_global(sh, T0b)
     return ode.solve_batched(envs, y0b, T0b, touts, rtol_b, atol_b,
                              first_step=first_step, evolT=evolT,
                              tenvs=tenvs,
@@ -93,9 +104,9 @@ def mc_pass_sharded(mesh: Mesh, model, key, packets, tallies,
     flat = Mesh(mesh.devices.reshape(-1), axis_names=("d",))
     shp = NamedSharding(flat, P("d"))
     rep = NamedSharding(flat, P())
-    packets = jax.tree.map(lambda a: jax.device_put(a, shp), packets)
-    model = jax.tree.map(lambda a: jax.device_put(a, rep), model)
-    tallies = jax.tree.map(lambda a: jax.device_put(a, rep), tallies)
+    packets = jax.tree.map(lambda a: put_global(shp, a), packets)
+    model = jax.tree.map(lambda a: put_global(rep, a), model)
+    tallies = jax.tree.map(lambda a: put_global(rep, a), tallies)
     # scatter-adds from sharded packets into replicated tallies become
     # XLA all-reduces automatically under jit
     if hosted:

@@ -1,0 +1,143 @@
+"""MC dust temperature in the OPTICALLY THICK regime vs the analytic
+gray diffusion solution (VERDICT r3 item 3).
+
+A uniform-density gray (pure-absorption) spherical envelope around the
+star.  In radiative equilibrium the luminosity L flows through every
+sphere, so in the diffusion regime (tau >> 1)
+
+    F(r) = L / (4 pi r^2) = -(4 sigma / (3 kappa rho)) dT^4/dr
+    => T^4(r) = T^4(R_out) + (3 kappa rho L / (16 pi sigma))
+                * (1/r - 1/R_out),
+
+with the gray Eddington surface condition T^4(R_out) = L/(8 pi sigma
+R_out^2).  The expected interior temperatures come from this algebra,
+not from the code under test.  This pins exactly the machinery the
+optically-thin parity test cannot see: the f32 Lucy path-length
+estimator in thick cells, the MRW diffusion deposits (flux fold + full-
+Planck en_gain residual), and the multi-pass Lucy temperature
+iteration.  Reference analogue: immediate reemission + Tdust LUT
+(src/montecarlo.f90:804-852) which exists precisely for this regime.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import rac2d_tpu.constants as c
+from rac2d_tpu.models import star as starmod
+from rac2d_tpu.ops import mcrt, optics
+
+from test_parity_tdust import _gray_mixture, _shell_grid
+
+KAB = 10.0             # cm^2/g, gray
+R_IN, R_OUT = 1.0, 9.0  # AU
+
+
+def _envelope(tau_radial, nr=20, nz=20):
+    """Uniform gray envelope R_IN < d < R_OUT with radial optical depth
+    tau_radial; returns (model, cells, tab, d_mid, rho)."""
+    mix = _gray_mixture(KAB)
+    cfg = optics.McConfig(nlen_lut=256, n_quantile=128)
+    tab = optics.build_tables([mix], cfg)
+    r_edges = np.concatenate([[0.05], np.linspace(0.5, R_OUT, nr)])
+    z_edges = np.concatenate([[0.0], np.linspace(0.25, R_OUT, nz)])
+    gi, (rmin, rmax, zmin, zmax) = _shell_grid(r_edges, z_edges)
+    rmin, rmax, zmin, zmax = (np.asarray(a) for a in
+                              (rmin, rmax, zmin, zmax))
+    n = len(rmin)
+    rc = 0.5 * (rmin + rmax)
+    zc = 0.5 * (zmin + zmax)
+    d_mid = np.sqrt(rc ** 2 + zc ** 2)
+    rho0 = tau_radial / (KAB * (R_OUT - R_IN) * c.AU2cm)
+    rho = np.where((d_mid > R_IN) & (d_mid < R_OUT), rho0, 1e-12 * rho0)
+    vol = (np.pi * (rmax ** 2 - rmin ** 2) * (zmax - zmin) * c.AU2cm ** 3)
+    cells = mcrt.McCells(
+        rmin=jnp.asarray(rmin), rmax=jnp.asarray(rmax),
+        zmin=jnp.asarray(zmin), zmax=jnp.asarray(zmax),
+        using=jnp.ones(n, bool), n_gas=jnp.zeros(n), n_HI=jnp.zeros(n),
+        n_H2O=jnp.zeros(n), Tgas=jnp.full(n, 100.0),
+        rho_dust=jnp.asarray(rho[None, :]),
+        dust_depletion=jnp.ones(n), d2h=jnp.full(n, 1e-12),
+        grain_a=jnp.full(n, 1e-5),
+        Tdust=jnp.full((1, n), 50.0),
+        mdust_cell=jnp.asarray((rho * vol)[None, :]),
+        abso_wei=jnp.ones((1, n)))
+    model = mcrt.McModel(tab=tab, gi=gi, cells=cells, star_mass=1.0)
+    return model, cells, tab, d_mid, rho0
+
+
+def _lucy_iterate(model, cells, tab, nph, use_mrw, n_pass=14, seed=11):
+    """Lucy temperature iteration to convergence; returns Tdust [n]."""
+    star = starmod.blackbody_star(6000.0, 1.0, mass=1.0)
+    maxw = 1.0
+    lam_pk, en_pk = starmod.packet_ladder(star, nph, 1.0, 1.0, 1.0)
+    en_pk = en_pk * (maxw / 2.0)      # upper-cone driver convention
+    en_scale = float(np.max(en_pk))
+    en_norm = jnp.asarray(np.asarray(en_pk) / en_scale)
+    lam_pk = jnp.asarray(lam_pk)
+    n = int(cells.rmin.shape[0])
+    Td = np.full((1, n), 50.0)
+    for ip in range(n_pass):
+        cells = cells._replace(Tdust=jnp.asarray(Td))
+        model_i = model._replace(cells=cells)
+        key = jax.random.PRNGKey(seed * 100 + ip)
+        pk = mcrt.launch_packets(model_i, key, lam_pk, en_norm, 0.0,
+                                 maxw)
+        tall = mcrt.McTallies.zeros(n, len(tab.lam), 1, 5)
+        pk, tall, _ = mcrt.mc_pass_hosted(
+            model_i, key, pk, tall, compact=True, use_mrw=use_mrw,
+            save_counts=False)
+        tall = tall._replace(en_gain=tall.en_gain.astype(jnp.float64)
+                             * en_scale)
+        Td_new = np.asarray(mcrt.update_tdust(tab, cells, tall))
+        dT = np.abs(Td_new - Td) / np.maximum(Td, 1.0)
+        Td = Td_new
+        if ip >= 3 and dT.max() < 0.01:
+            break
+    return Td[0]
+
+
+def _analytic_T(d, tau_radial):
+    star_L = (4.0 * np.pi * c.Rsun_CGS ** 2 * c.SigmaStefanBoltzmann_CGS
+              * 6000.0 ** 4)
+    rho0 = tau_radial / (KAB * (R_OUT - R_IN) * c.AU2cm)
+    sb = c.SigmaStefanBoltzmann_CGS
+    T4_out = star_L / (8.0 * np.pi * sb * (R_OUT * c.AU2cm) ** 2)
+    T4 = T4_out + (3.0 * KAB * rho0 * star_L / (16.0 * np.pi * sb)) \
+        * (1.0 / (d * c.AU2cm) - 1.0 / (R_OUT * c.AU2cm))
+    return T4 ** 0.25
+
+
+@pytest.mark.slow
+def test_thick_envelope_matches_gray_diffusion():
+    """tau_radial = 20 with MRW: interior cells (tau-from-surface >= 4)
+    must match the diffusion T(r) to 10% in the median, 15% everywhere."""
+    tau = 20.0
+    model, cells, tab, d_mid, rho0 = _envelope(tau)
+    Td = _lucy_iterate(model, cells, tab, nph=30_000, use_mrw=True)
+    tau_out = KAB * rho0 * (R_OUT - d_mid) * c.AU2cm
+    sel = (tau_out >= 4.0) & (d_mid > 1.4 * R_IN) & (d_mid < 0.85 * R_OUT)
+    assert sel.sum() >= 20
+    T_ana = _analytic_T(d_mid[sel], tau)
+    rel = np.abs(Td[sel] - T_ana) / T_ana
+    assert np.median(rel) < 0.10, (
+        f"median dev {np.median(rel):.3f}; worst {rel.max():.3f}")
+    assert rel.max() < 0.20, f"worst dev {rel.max():.3f}"
+
+
+@pytest.mark.slow
+def test_thick_mrw_matches_plain_walk_envelope():
+    """tau_radial = 6: the MRW-accelerated walk and the plain walk must
+    produce the same temperatures (MRW deposits drift-free)."""
+    tau = 6.0
+    model, cells, tab, d_mid, rho0 = _envelope(tau, nr=14, nz=14)
+    Td_mrw = _lucy_iterate(model, cells, tab, nph=20_000, use_mrw=True,
+                           n_pass=10)
+    Td_plain = _lucy_iterate(model, cells, tab, nph=20_000,
+                             use_mrw=False, n_pass=10)
+    sel = d_mid < 0.9 * R_OUT
+    rel = np.abs(Td_mrw[sel] - Td_plain[sel]) \
+        / np.maximum(Td_plain[sel], 10.0)
+    assert np.median(rel) < 0.04, f"median {np.median(rel):.3f}"
+    assert rel.max() < 0.10, f"worst {rel.max():.3f}"
