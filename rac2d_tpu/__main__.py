@@ -30,6 +30,12 @@ def main(argv=None):
                    help="override number of outer iterations")
     p.add_argument("--skip-chemistry", action="store_true",
                    help="only run the Monte Carlo + SED stage")
+    p.add_argument("--save-only-structure", action="store_true",
+                   help="write the structure outputs (iter npz + "
+                        "checkpoint) from the prepared/resumed state "
+                        "and exit without running MC or chemistry "
+                        "(reference do_save_only_structure rerun mode, "
+                        "src/main.f90:66-105)")
     args = p.parse_args(argv)
 
     from . import checkpoint, config as cfgmod
@@ -60,6 +66,11 @@ def main(argv=None):
         m.say(f"resumed from {args.resume} at iteration {start_iter}")
 
     n_iter = args.iters if args.iters is not None else cfg.n_iter
+    if args.save_only_structure:
+        outmod.save_iter_npz(outdir / "iter_final.npz", m, start_iter)
+        checkpoint.save_state(outdir / "checkpoint.npz", m, start_iter)
+        m.say(f"structure saved (no compute) in {time.time() - t0:.0f}s")
+        return
     if args.skip_chemistry:
         m.run_mc(n_passes=cfg.n_mc_passes)
     else:

@@ -46,8 +46,17 @@ def load_grid(path):
         return Grid(**{k: d[k] for k in d.files})
 
 
+_GRID_FIELDS = ("rmin", "rmax", "zmin", "zmax", "using", "n0", "col_id",
+                "col_ptr", "col_cells", "nb_above_ptr", "nb_above",
+                "nb_below_ptr", "nb_below", "nb_inner_ptr", "nb_inner",
+                "nb_outer_ptr", "nb_outer", "surf_cells", "bott_cells")
+
+
 def save_state(path, model, iiter=0):
-    """Dump the evolving state of a models.driver.DiskModel."""
+    """Dump the evolving state of a models.driver.DiskModel.  The grid
+    itself is embedded (grid_* keys) so a later run can resume onto an
+    AMR-refined mesh — the reference's back_grid_info /
+    use_backup_grid_data flow (data_dump.f90:675)."""
     data = dict(
         grid_hash=np.frombuffer(
             bytes.fromhex(_grid_hash(model.grid)), dtype=np.uint8),
@@ -55,6 +64,8 @@ def save_state(path, model, iiter=0):
         X=model.X, Tgas=model.Tgas, Tdust=model.Tdust,
         Tdusts=model.Tdusts, quality=model.quality,
         n0=model.grid.n0, rho_dust=model.rho_dust)
+    data.update({f"grid_{k}": getattr(model.grid, k)
+                 for k in _GRID_FIELDS})
     if model.fields is not None:
         data.update(
             flux=np.asarray(model.fields.flux),
@@ -69,17 +80,30 @@ def save_state(path, model, iiter=0):
     np.savez_compressed(path, **data)
 
 
-def load_state(path, model, check_consistency=True):
+def load_state(path, model, check_consistency=True, restore_grid=True):
     """Restore a dumped state into a prepared DiskModel (any subset of
-    stages present in the file is restored)."""
+    stages present in the file is restored).
+
+    restore_grid=True (default): when the checkpoint's grid differs
+    from the model's (e.g. the run was AMR-refined) and the file embeds
+    the grid, ADOPT the stored grid and rebuild the geometry-dependent
+    structures — the reference's use_backup_grid_data restore.  With
+    restore_grid=False a hash mismatch refuses instead (the reference's
+    consistency check, data_dump.f90:763)."""
     with np.load(path) as d:
-        if check_consistency:
-            want = _grid_hash(model.grid)
-            got = bytes(d["grid_hash"].tobytes()).hex()
-            if got != want:
+        want = _grid_hash(model.grid)
+        got = bytes(d["grid_hash"].tobytes()).hex()
+        if got != want:
+            if restore_grid and "grid_rmin" in d.files:
+                from .models.grid import Grid
+                model.adopt_grid(
+                    Grid(**{k: d[f"grid_{k}"] for k in _GRID_FIELDS}),
+                    rho_dust=d["rho_dust"] if "rho_dust" in d.files
+                    else None)
+            elif check_consistency:
                 raise ValueError(
-                    f"checkpoint grid hash {got} != current grid {want}; "
-                    "refusing to restore onto a different grid")
+                    f"checkpoint grid hash {got} != current grid "
+                    f"{want}; refusing to restore onto a different grid")
         model.X = d["X"]
         model.Tgas = d["Tgas"]
         model.Tdust = d["Tdust"]

@@ -133,7 +133,7 @@ def load_config(path: str) -> driver.DiskConfig:
               "do_vertical_every", "disk_gas_mass_preset", "vertical_moving",
               "calc_zetaXray_from_Ncol", "shard_chemistry",
               "do_refine", "do_merge", "refine_watch_species",
-              "refine_threshold", "merge_tol"):
+              "refine_watch_file", "refine_threshold", "merge_tol"):
         if k in it:
             setattr(cfg, k, it[k])
 

@@ -22,10 +22,27 @@ import numpy as np
 from .grid import Grid, build_grid_from_leaves
 
 
+def load_watch_list(path, net):
+    """Parse a reference-format refine watch list (species_check_refine
+    .dat: 'name  min_abundance' per line, disk.f90:3908-3968); returns
+    (watch_idx, min_abun arrays) restricted to species in the network."""
+    idx, mins = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2 or parts[0].startswith(("!", "#")):
+                continue
+            if parts[0] in net.idx:
+                idx.append(net.idx[parts[0]])
+                mins.append(float(parts[1]))
+    return np.asarray(idx, dtype=np.int64), np.asarray(mins)
+
+
 def need_refine(grid: Grid, X, watch_idx, thresh=10.0, min_abun=1e-15,
                 min_dz=None):
     """Cells whose watched abundances jump by > thresh against the cell
-    above or below (reference need_to_refine, disk.f90:3908-3968)."""
+    above or below (reference need_to_refine, disk.f90:3908-3968).
+    min_abun: scalar or per-watched-species array."""
     n = grid.n_cells
     mask = np.zeros(n, dtype=bool)
     dz = grid.zmax - grid.zmin

@@ -111,6 +111,10 @@ class DiskConfig:
     do_refine: bool = False
     do_merge: bool = False
     refine_watch_species: tuple = ("H2", "H2O", "CO", "E-")
+    # reference-format watch-list file ('name min_abun' per line,
+    # species_check_refine.dat, disk.f90:3908-3968); overrides
+    # refine_watch_species when set
+    refine_watch_file: str | None = None
     refine_threshold: float = 10.0
     merge_tol: float = 1.5
     # ad-hoc O/C(/N) depletion of the initial abundances (reference
@@ -241,6 +245,25 @@ class DiskModel:
         self.say(f"prepare done in {time.time() - t0:.1f}s")
 
     # ------------------------------------------------------------------
+    def adopt_grid(self, new_grid, rho_dust=None):
+        """Swap in a different grid (checkpoint restore of an
+        AMR-refined mesh, reference use_backup_grid_data) and rebuild
+        every geometry-dependent structure.  Caller supplies matching
+        per-cell state afterwards (or rho_dust here)."""
+        self.grid = new_grid
+        if rho_dust is not None:
+            self.rho_dust = rho_dust
+        elif self.rho_dust.shape[1] != new_grid.n_cells:
+            # keep shapes coherent until the caller restores the real
+            # per-cell state
+            self.rho_dust = np.zeros((self.n_dust, new_grid.n_cells))
+        self.gi = geometry.build_grid_index(new_grid)
+        self.W_star, self.W_ism = columns.build_path_matrices(
+            new_grid, self.gi)
+        self._derive_cell_state()
+        self.fields = None
+
+    # ------------------------------------------------------------------
     def _derive_cell_state(self):
         """Per-cell quantities derived from (grid, rho_dust); re-run after
         any density (vertical balance) or geometry (AMR) change."""
@@ -330,10 +353,17 @@ class DiskModel:
         disk.f90:3646-4033,3887)."""
         from . import amr
         cfg = self.cfg
-        watch = [self.net.idx[s] for s in cfg.refine_watch_species
-                 if s in self.net.idx]
-        mask = amr.need_refine(self.grid, self.X, np.asarray(watch),
+        if cfg.refine_watch_file:
+            watch, min_abun = amr.load_watch_list(cfg.refine_watch_file,
+                                                  self.net)
+        else:
+            watch = np.asarray([self.net.idx[s]
+                                for s in cfg.refine_watch_species
+                                if s in self.net.idx])
+            min_abun = 1e-15
+        mask = amr.need_refine(self.grid, self.X, watch,
                                thresh=cfg.refine_threshold,
+                               min_abun=min_abun,
                                min_dz=cfg.grid.smallest_cell_size)
         pairs = []
         if cfg.do_merge and self.fields is not None:

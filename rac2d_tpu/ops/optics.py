@@ -61,8 +61,11 @@ class McConfig:
     mrw_gamma: float = 4.0       # require R0 > gamma * transport mfp
     mrw_lam_min: float = 1e4     # only thermalized (IR) packets, angstrom
     # walk iterations per bounded device program (mc_pass_hosted): each
-    # chunk must finish well inside the TPU device watchdog
-    steps_per_call: int = 256
+    # chunk must finish well inside the TPU device watchdog; smaller
+    # chunks also bound the scan event-log memory and give the
+    # compaction ladder more frequent shrink points (measured round 4:
+    # 256-step chunks left a 3.4x lock-step waste factor)
+    steps_per_call: int = 64
     # direction-weighted flux tally (reference SAVE_PHOTON_FIELD_DIR
     # compile flag, data_struct.f90:114-116): off by default — it costs
     # one extra multi-column scatter per walk step and nothing in the

@@ -18,11 +18,16 @@ import rac2d_tpu.constants as c
 
 @pytest.fixture(scope="module")
 def tiny_model(tmp_path_factory):
+    import os
     from rac2d_tpu import defaults
     from rac2d_tpu.models import density, driver
     from rac2d_tpu.models.grid import GridConfig
     from rac2d_tpu.ops import optics, thermal
 
+    # default: CI-sized (the trio must fit a ~5-minute budget on a
+    # 2-core box, VERDICT r3 item 5); RAC2D_E2E_FULL=1 restores the
+    # bigger round-3 fixture
+    full = os.environ.get("RAC2D_E2E_FULL") == "1"
     cfg = driver.DiskConfig(
         star_mass=0.6, star_radius=1.0, star_T=4000.0,
         lumi_Xray=1e29,
@@ -37,10 +42,18 @@ def tiny_model(tmp_path_factory):
         enthalpy_file=defaults.ENTHALPIES,
         init_abundances_file=defaults.INIT_ABUNDANCES,
         h2o_cross_file=defaults.H2O_PHOTOXS,
-        n_iter=2, evolT=True, t_max=1e2, ratio_tstep=1.6,
-        chem_chunk=16, max_steps_per_interval=200, nlocal_iter=2,
-        mc=optics.McConfig(nph=2000, nlen_lut=128, n_quantile=64),
-        n_mc_passes=2, nph_per_pass=2000,
+        # CI fixture runs the fixed-T chemistry + equilibrium-T
+        # (bisection) path — the coupled evolT system is orders of
+        # magnitude more BDF steps and is covered by the full fixture
+        # and by tests/test_chem_production.py
+        n_iter=2, evolT=full, t_max=1e2 if full else 1e1,
+        ratio_tstep=1.6 if full else 2.5,
+        chem_chunk=16, max_steps_per_interval=200 if full else 100,
+        nlocal_iter=2,
+        mc=optics.McConfig(nph=2000 if full else 1000, nlen_lut=128,
+                           n_quantile=64),
+        n_mc_passes=2 if full else 1,
+        nph_per_pass=2000 if full else 1000,
         do_vertical_every=1, do_refine=True, do_merge=False,
         converged_fraction=2.0,     # never early-stop: run both iters
         # host-loop chemistry: the sharded whole-integration scan
@@ -82,16 +95,21 @@ def test_checkpoint_roundtrip(tiny_model, tmp_path):
     checkpoint.save_state(p, m, iiter=2)
     m2 = driver.DiskModel(m.cfg)
     m2.prepare()
+    # the run may have AMR-refined the grid: load_state adopts the
+    # embedded grid (reference use_backup_grid_data, data_dump.f90:675)
     it = checkpoint.load_state(p, m2)
     assert it == 2
+    assert m2.grid.n_cells == m.grid.n_cells
     np.testing.assert_allclose(m2.X, m.X, rtol=0, atol=0)
     np.testing.assert_allclose(m2.Tgas, m.Tgas)
     np.testing.assert_allclose(m2.Tdust, m.Tdust)
-    # grid-mismatch refusal (the reference's consistency check,
-    # data_dump.f90:763)
-    m2.grid.rmax = m2.grid.rmax * 1.001
+    # grid-mismatch refusal when grid adoption is disabled (the
+    # reference's consistency check, data_dump.f90:763)
+    m3 = driver.DiskModel(m.cfg)
+    m3.prepare()
+    m3.grid.rmax = m3.grid.rmax * 1.001
     with pytest.raises(ValueError):
-        checkpoint.load_state(p, m2)
+        checkpoint.load_state(p, m3, restore_grid=False)
 
 
 @pytest.mark.slow

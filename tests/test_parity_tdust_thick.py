@@ -87,7 +87,7 @@ def _lucy_iterate(model, cells, tab, nph, use_mrw, n_pass=14, seed=11):
         tall = mcrt.McTallies.zeros(n, len(tab.lam), 1, 5)
         pk, tall, _ = mcrt.mc_pass_hosted(
             model_i, key, pk, tall, compact=True, use_mrw=use_mrw,
-            save_counts=False)
+            n_quantile=128, save_counts=False)
         tall = tall._replace(en_gain=tall.en_gain.astype(jnp.float64)
                              * en_scale)
         Td_new = np.asarray(mcrt.update_tdust(tab, cells, tall))

@@ -43,17 +43,25 @@ def main():
     pk = mcrt.launch_packets(model, key, lam_pk, en_norm, 0.0, cfg.maxw)
     B0 = int(pk.x.shape[0])
 
-    prof = []
-    t0 = time.time()
-    spc = 256
+    spc = int(os.environ.get("RAC2D_PROBE_SPC", 64))
+    # pass 1 compiles the compaction tier shapes; pass 2 is the measure
+    for it in range(int(os.environ.get("RAC2D_PROBE_PASSES", 2))):
+        prof = []
+        t0 = time.time()
 
-    def cb(done, n_active):
-        prof.append((done, n_active, time.time() - t0))
+        def cb(done, n_active):
+            prof.append((done, n_active, time.time() - t0))
 
-    pk, tall, fates = mcrt.mc_pass_hosted(
-        model, key, pk, tall, compact=True, steps_per_call=spc,
-        progress_cb=cb, **kw)
-    wall = time.time() - t0
+        key_i = jax.random.PRNGKey(5 + it)
+        pk = mcrt.launch_packets(model, key_i, lam_pk, en_norm, 0.0,
+                                 cfg.maxw)
+        tall = mcrt.McTallies.zeros(m.grid.n_cells, nlam, m.n_dust, 5)
+        pk, tall, fates = mcrt.mc_pass_hosted(
+            model, key_i, pk, tall, compact=True, steps_per_call=spc,
+            progress_cb=cb, **kw)
+        wall = time.time() - t0
+        print(f"pass {it}: {wall:.1f}s  {B0/wall:.0f} packets/s",
+              flush=True)
     # lanes processed per chunk = batch shape at that time; active work
     lanes_proc = 0
     act_work = 0
@@ -64,13 +72,9 @@ def main():
         steps = done - prev_done
         lanes_proc += steps * shape
         act_work += steps * (prev_act + n_active) / 2
-        # compaction may shrink shape AFTER this report
-        shape_next = shape
-        tier = shape
-        while tier // 8 >= max(2 * n_active, 1024):
-            tier //= 8
-        shape_next = min(shape, max(tier, 1024))
-        shape = shape_next
+        # compaction shrinks the shape AFTER this report (pow2 ladder)
+        tier = max(1 << int(np.ceil(np.log2(max(n_active, 1)))), 1024)
+        shape = min(shape, tier)
         prev_act = n_active
         prev_done = done
     print(f"B0={B0} wall={wall:.1f}s  packets/s={B0/wall:.0f}")
