@@ -133,10 +133,15 @@ def time_mc_pass(m, nph, n_timed=1, seed=0):
 
     m.run_mc(n_passes=1, seed=seed)   # Lucy warmup: realistic Tdust
     one_pass(0)                       # compile for this packet shape
-    t0 = time.time()
-    for i in range(n_timed):
-        one_pass(1 + i)
-    dt = (time.time() - t0) / n_timed
+    one_pass(1)                       # cover RNG-dependent pow2 tiers
+    # median of 3: a pass that hits a not-yet-compiled compaction tier
+    # pays a one-off compile (cached forever after)
+    times = []
+    for i in range(max(n_timed, 3)):
+        t0 = time.time()
+        one_pass(2 + i)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
     return len(lam_pk) / dt
 
 
@@ -231,10 +236,20 @@ def bench_chem():
     tenvs = None
     if evolT:
         from rac2d_tpu.ops import thermal as thermal_mod
-        tenv1 = thermal_mod.ThermalEnv.default(
-            omega_Kepler=2e-9, velo_width_turb=3e4, coherent_length=1e13)
-        tenvs = jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (B,) + a.shape), tenv1)
+
+        def tenv_of(i):
+            # include the dust population: gas-grain coupling is a
+            # first-order term of the coupled-T system (without it cold
+            # dense lanes equilibrate unphysically below ~1 K)
+            return thermal_mod.ThermalEnv.default(
+                omega_Kepler=2e-9, velo_width_turb=3e4,
+                coherent_length=1e13,
+                n_dusts=np.array([d2g * n_gas[i], 0, 0, 0]),
+                sig_dusts=np.array([np.pi * 1e-10, 0, 0, 0]),
+                Tdusts=np.array([Tg[i], 0, 0, 0]))
+
+        tenvs = jax.tree.map(lambda *a: jnp.stack(a),
+                             *[tenv_of(i) for i in range(B)])
 
     # host_loop: one bounded device program per record interval — a
     # single whole-integration program runs for minutes and trips the

@@ -77,9 +77,17 @@ class NeufeldH2:
         self.alpha = d["alpha_s"]
 
     def params(self, T):
-        lt = jnp.log10(jnp.maximum(T, 1e-30))
-        L0 = 10.0 ** (-_lin_extrap(lt, self.logT, self.L0))
-        L_LTE = 10.0 ** (-_lin_extrap(lt, self.logT, self.L_LTE))
+        Tpos = jnp.maximum(T, 1e-30)
+        lt = jnp.log10(Tpos)
+        # exp(-509/T): Boltzmann suppression of the lowest rotational
+        # level (E(J=2-0)/k = 509 K) applied to BOTH L0 and L_LTE —
+        # reference load_Neufeld_cooling_H2.f90:101,112
+        # (exp(-log10_L*ln10 - 509/T)).  Without it H2 cooling is
+        # overestimated by e^(509/T) and freezes cold gas to T -> 0
+        # (round-4 dark-cloud coupled-T collapse bug).
+        boltz = jnp.exp(-509.0 / Tpos)
+        L0 = 10.0 ** (-_lin_extrap(lt, self.logT, self.L0)) * boltz
+        L_LTE = 10.0 ** (-_lin_extrap(lt, self.logT, self.L_LTE)) * boltz
         n12 = 10.0 ** (_lin_extrap(lt, self.logT, self.n12))
         al = jnp.maximum(_lin_extrap(lt, self.logT, self.alpha), 0.0)
         return NeufeldParams(L0, L_LTE, n12, al)

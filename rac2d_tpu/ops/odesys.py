@@ -193,7 +193,11 @@ class ChemicalODE:
         i_E = self.net.idx.get("E-", -1)
 
         def bad(y):
-            b = jnp.zeros((), dtype=bool)
+            # any species blowing past 2 x the maximum physical
+            # abundance is insane regardless of which one it is (the
+            # reference aborts on |X|>1-class states; species-specific
+            # caps below keep its tighter limits for the key ones)
+            b = jnp.max(jnp.abs(y[:nS])) > 2.0
             for i in ids:
                 if i >= 0:
                     b = b | (jnp.abs(y[i]) > 1.0)

@@ -27,8 +27,10 @@ from test_parity_oracle import POINTS, _env_pairs
 
 def _element_totals(net, y):
     """Total abundance per element (conservation audit, reference
-    chemistry.f90:1299-1340 and disk.f90:1680-1702)."""
-    comp = np.asarray(net.composition, dtype=float)   # [nS, n_elem]
+    chemistry.f90:1299-1340 and disk.f90:1680-1702).  Element slots 0-2
+    are charge/electron/grain pseudo-elements (io/umist.py) — skip to
+    the real elements."""
+    comp = np.asarray(net.elements, dtype=float)[:, 3:]  # [nS, n_elem]
     return comp.T @ np.asarray(y, dtype=float)
 
 
@@ -59,10 +61,20 @@ def test_coupled_production_1e6yr(network):
     cenvs = [_env_pairs(p)[1] for p in COUPLED_CELLS]
     envs = jax.tree.map(lambda *a: jnp.stack([jnp.asarray(x) for x in a]),
                         *cenvs)
-    tenv1 = thermal.ThermalEnv.default(
-        omega_Kepler=2e-9, velo_width_turb=3e4, coherent_length=1e13)
-    tenvs = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape),
-                         tenv1)
+
+    def tenv_of(p):
+        # realistic dust population: gas-grain coupling is what pins
+        # cold dense gas near Tdust (without it the dark cloud
+        # equilibrates unphysically below 1 K)
+        d2g_n = 2.8e-12
+        return thermal.ThermalEnv.default(
+            omega_Kepler=2e-9, velo_width_turb=3e4, coherent_length=1e13,
+            n_dusts=np.array([d2g_n * p["n"], 0, 0, 0]),
+            sig_dusts=np.array([np.pi * 1e-10, 0, 0, 0]),
+            Tdusts=np.array([p["Tdust"], 0, 0, 0]))
+
+    tenvs = jax.tree.map(lambda *a: jnp.stack(a),
+                         *[tenv_of(p) for p in COUPLED_CELLS])
     d2g = 2.8e-12
     rtol, atol = odesys.tolerance_ladder(network, 1, 1e-4, 1e-30, d2g)
     # production tolerances and t-range; a coarser record ladder than the

@@ -48,7 +48,7 @@ def tiny_model(tmp_path_factory):
         # and by tests/test_chem_production.py
         n_iter=2, evolT=full, t_max=1e2 if full else 1e1,
         ratio_tstep=1.6 if full else 2.5,
-        chem_chunk=16, max_steps_per_interval=200 if full else 100,
+        chem_chunk=16, max_steps_per_interval=200 if full else 400,
         nlocal_iter=2,
         mc=optics.McConfig(nph=2000 if full else 1000, nlen_lut=128,
                            n_quantile=64),
@@ -78,9 +78,17 @@ def test_run_completes_with_sane_state(tiny_model):
     # chemistry ran: H2 formed somewhere, abundances within [−eps, 1]
     iH2 = m.net.idx["H2"]
     assert m.X[iH2][act].max() > 0.1
-    assert (m.X[:, act] < 1.5).all()
+    # cleanly-solved cells must be physical; cells the solver flagged
+    # carry their quality bits instead (the reference's contract:
+    # chemistry.f90:520-530 insane states get +512, the state is not
+    # trusted)
+    clean = act & (m.quality == 0)
+    ibad = np.nonzero((m.X[:, clean] >= 1.5).any(axis=1))[0]
+    assert len(ibad) == 0, (
+        f"unphysical abundances in clean cells for "
+        f"{[m.net.species[i] for i in ibad]}")
     # temperatures evolved to something physical
-    assert (m.Tgas[act] > 1.0).all() and (m.Tgas[act] < 5e3).all()
+    assert (m.Tgas[clean] > 1.0).all() and (m.Tgas[clean] < 5e3).all()
     # most cells solved cleanly
     frac_bad = (m.quality[act] > 0).mean()
     assert frac_bad < 0.5, frac_bad

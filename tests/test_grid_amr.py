@@ -180,3 +180,19 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                                  rmax=np.array([2.5])))()
     with pytest.raises(ValueError):
         checkpoint.load_state_orbax(p, m2)
+
+
+def test_load_watch_list(tmp_path, network):
+    """Reference species_check_refine.dat format: 'name min_abun' rows
+    (disk.f90:3908-3968); unknown species are skipped."""
+    from rac2d_tpu.models import amr
+    p = tmp_path / "watch.dat"
+    p.write_text("H2          1.00E-6\n"
+                 "! comment\n"
+                 "H2O         1.00E-9\n"
+                 "NOSUCHSPEC  1.0E-5\n"
+                 "CO          1.00E-7\n")
+    idx, mins = amr.load_watch_list(p, network)
+    assert len(idx) == 3
+    assert [network.species[i] for i in idx] == ["H2", "H2O", "CO"]
+    assert mins.tolist() == [1e-6, 1e-9, 1e-7]

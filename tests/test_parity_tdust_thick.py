@@ -99,10 +99,10 @@ def _lucy_iterate(model, cells, tab, nph, use_mrw, n_pass=14, seed=11):
 
 
 def _analytic_T(d, tau_radial):
-    star_L = (4.0 * np.pi * c.Rsun_CGS ** 2 * c.SigmaStefanBoltzmann_CGS
+    star_L = (4.0 * np.pi * c.Rsun_CGS ** 2 * c.StefanBoltzmann_CGS
               * 6000.0 ** 4)
     rho0 = tau_radial / (KAB * (R_OUT - R_IN) * c.AU2cm)
-    sb = c.SigmaStefanBoltzmann_CGS
+    sb = c.StefanBoltzmann_CGS
     T4_out = star_L / (8.0 * np.pi * sb * (R_OUT * c.AU2cm) ** 2)
     T4 = T4_out + (3.0 * KAB * rho0 * star_L / (16.0 * np.pi * sb)) \
         * (1.0 / (d * c.AU2cm) - 1.0 / (R_OUT * c.AU2cm))

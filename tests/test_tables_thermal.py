@@ -224,3 +224,29 @@ def test_ion_cooling_lut_matches_reference_spline():
         ref = 10.0 ** sp(xs, ys)
         rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-300)
         assert rel.max() < 0.02, (ion, rel.max())
+
+
+def test_neufeld_h2_rot_boltzmann_suppression():
+    """The H2 rotational L0/L_LTE carry exp(-509/T) on top of the
+    tabulated log10 values (reference load_Neufeld_cooling_H2.f90:
+    101,112: exp(-log10_L*ln10 - 509/T)).  Round 4 found this factor
+    missing — H2 cooling was overestimated by e^(509/T), freezing cold
+    gas to T -> 0 in the coupled solve.  Expected values recomputed
+    here from the stored table by the reference's own formula."""
+    import numpy as np
+    from rac2d_tpu.io import tables
+
+    h2 = tables.NeufeldH2()
+    for T in (6.0, 30.0, 100.0, 500.0, 2000.0):
+        lt = np.log10(T)
+        exp_L0 = 10.0 ** (-np.interp(lt, h2.logT, h2.L0)) \
+            * np.exp(-509.0 / T)
+        exp_LTE = 10.0 ** (-np.interp(lt, h2.logT, h2.L_LTE)) \
+            * np.exp(-509.0 / T)
+        p = h2.params(T)
+        assert np.allclose(float(p.L0), exp_L0, rtol=1e-6), T
+        assert np.allclose(float(p.L_LTE), exp_LTE, rtol=1e-6), T
+    # the factor must actually bite at low T
+    p6 = h2.params(6.0)
+    p600 = h2.params(600.0)
+    assert float(p6.L0) < 1e-30 * float(p600.L0)
