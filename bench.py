@@ -221,7 +221,8 @@ def bench_chem():
     def env_of(i):
         return CellEnv.default(
             Tgas=Tg[i], Tdust=Tg[i], n_gas=n_gas[i], Av_toISM=5.0,
-            Av_toStar=5.0, G0_UV_toISM=1.0, GrainRadius_CGS=1e-5,
+            Av_toStar=5.0, G0_UV_toISM=1.0, Ncol_toISM=n_gas[i] * 1e17,
+            GrainRadius_CGS=1e-5,
             sigdust_ave=np.pi * 1e-10, ndust_tot=d2g * n_gas[i],
             ratioDust2HnucNum=d2g, SitesPerGrain=4 * np.pi * 1e-10 * 1e15)
 

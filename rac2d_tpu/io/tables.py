@@ -33,8 +33,16 @@ def _lin_extrap(x, xs, ys):
 
 
 def _bilin_extrap(x, y, xs, ys, Z):
-    """Bilinear (with cross term) on Z[nx, ny]; extrapolates at edges."""
+    """Bilinear (with cross term) on Z[nx, ny]; extrapolates at edges
+    along x (temperature — matching the reference's linear-in-log
+    extrapolation) but CLAMPS y (the log10 N~ column-density axis) to
+    the table range: below-table N is the optically thin limit, which
+    IS the lowest-N column, and an unclamped y from a zero column
+    density (log10 TINY ~ -300) extrapolates to 10^(+-hundreds) —
+    finite by accident on CPU, NaN under TPU f64 emulation (round-4
+    chem_prod zero-progress bug)."""
     nx, ny = Z.shape
+    y = jnp.clip(y, ys[0], ys[-1])
     i = jnp.clip(jnp.searchsorted(xs, x, side="left"), 1, nx - 1)
     j = jnp.clip(jnp.searchsorted(ys, y, side="left"), 1, ny - 1)
     tx = (x - xs[i - 1]) / (xs[i] - xs[i - 1])

@@ -36,16 +36,23 @@ def main():
     def env_of(i):
         return CellEnv.default(
             Tgas=Tg[i], Tdust=Tg[i], n_gas=n_gas[i], Av_toISM=5.0,
-            Av_toStar=5.0, G0_UV_toISM=1.0, GrainRadius_CGS=1e-5,
+            Av_toStar=5.0, G0_UV_toISM=1.0, Ncol_toISM=n_gas[i] * 1e17,
+            GrainRadius_CGS=1e-5,
             sigdust_ave=np.pi * 1e-10, ndust_tot=d2g * n_gas[i],
             ratioDust2HnucNum=d2g, SitesPerGrain=4 * np.pi * 1e-10 * 1e15)
 
     envs = jax.tree.map(lambda *a: jnp.stack(a),
                         *[env_of(i) for i in range(B)])
-    tenv1 = thermal.ThermalEnv.default(
-        omega_Kepler=2e-9, velo_width_turb=3e4, coherent_length=1e13)
-    tenvs = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape),
-                         tenv1)
+
+    def tenv_of(i):
+        return thermal.ThermalEnv.default(
+            omega_Kepler=2e-9, velo_width_turb=3e4, coherent_length=1e13,
+            n_dusts=np.array([d2g * n_gas[i], 0, 0, 0]),
+            sig_dusts=np.array([np.pi * 1e-10, 0, 0, 0]),
+            Tdusts=np.array([Tg[i], 0, 0, 0]))
+
+    tenvs = jax.tree.map(lambda *a: jnp.stack(a),
+                         *[tenv_of(i) for i in range(B)])
     rtol, atol = odesys.tolerance_ladder(net, 1, 1e-4, 1e-30, d2g)
     touts = jnp.asarray(bdfmod.log_output_times(1e-8, 1e6, 1.1))
     print(f"n_out={touts.shape[0]} B={B}", flush=True)
