@@ -166,7 +166,11 @@ def measure_chem_jit_coupled():
         ndust_tot=d2g * n_gas, ratioDust2HnucNum=d2g,
         SitesPerGrain=4 * np.pi * 1e-10 * 1e15)
     tenv = thermal.ThermalEnv.default(
-        omega_Kepler=2e-9, velo_width_turb=3e4, coherent_length=1e13)
+        omega_Kepler=2e-9, velo_width_turb=3e4, coherent_length=1e13,
+        # dust population: gas-grain coupling, matching the bench env
+        n_dusts=np.array([d2g * n_gas, 0, 0, 0]),
+        sig_dusts=np.array([np.pi * 1e-10, 0, 0, 0]),
+        Tdusts=np.array([20.0, 0, 0, 0]))
     f = jax.jit(ode.make_f(env, True, tenv))
     jac = jax.jit(ode.make_jac(env, True, tenv))
     y0T = np.concatenate([y0, [20.0]])
