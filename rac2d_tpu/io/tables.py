@@ -84,21 +84,29 @@ class NeufeldH2:
         self.n12 = d["log10_n_12"]
         self.alpha = d["alpha_s"]
 
-    def params(self, T):
+    def params_scaled(self, T):
+        """(params WITHOUT the Boltzmann factor, boltz): the exp(-509/T)
+        suppression of the lowest rotational level (E(J=2-0)/k = 509 K)
+        applies to BOTH L0 and L_LTE — reference
+        load_Neufeld_cooling_H2.f90:101,112 (exp(-log10_L*ln10 - 509/T));
+        without it H2 cooling is overestimated by e^(509/T) and freezes
+        cold gas to T -> 0 (round-4 coupled-T collapse bug).  It is
+        returned SEPARATELY so the caller can factor it out of the
+        1/L0-style division chain: at low T the suppressed L values
+        underflow the TPU backend's f32-exponent f64 emulation and the
+        chain turns into 0/0."""
         Tpos = jnp.maximum(T, 1e-30)
         lt = jnp.log10(Tpos)
-        # exp(-509/T): Boltzmann suppression of the lowest rotational
-        # level (E(J=2-0)/k = 509 K) applied to BOTH L0 and L_LTE —
-        # reference load_Neufeld_cooling_H2.f90:101,112
-        # (exp(-log10_L*ln10 - 509/T)).  Without it H2 cooling is
-        # overestimated by e^(509/T) and freezes cold gas to T -> 0
-        # (round-4 dark-cloud coupled-T collapse bug).
         boltz = jnp.exp(-509.0 / Tpos)
-        L0 = 10.0 ** (-_lin_extrap(lt, self.logT, self.L0)) * boltz
-        L_LTE = 10.0 ** (-_lin_extrap(lt, self.logT, self.L_LTE)) * boltz
+        L0 = 10.0 ** (-_lin_extrap(lt, self.logT, self.L0))
+        L_LTE = 10.0 ** (-_lin_extrap(lt, self.logT, self.L_LTE))
         n12 = 10.0 ** (_lin_extrap(lt, self.logT, self.n12))
         al = jnp.maximum(_lin_extrap(lt, self.logT, self.alpha), 0.0)
-        return NeufeldParams(L0, L_LTE, n12, al)
+        return NeufeldParams(L0, L_LTE, n12, al), boltz
+
+    def params(self, T):
+        p, boltz = self.params_scaled(T)
+        return p._replace(L0=p.L0 * boltz, L_LTE=p.L_LTE * boltz)
 
 
 class _NeufeldHighLow:

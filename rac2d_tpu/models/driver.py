@@ -669,7 +669,9 @@ class DiskModel:
                 (self.n_dusts[:, idx] * self.vol[None, idx])
                 * np.array([m.pmass for m in self.mixtures])[:, None]).T
             @ jnp.eye(self.n_dust, 4),
-            volume=take(self.vol),
+            # AU^3 (range-safe on the TPU backend's
+            # f32-exponent f64 emulation; ThermalEnv.volume)
+            volume=take(self.vol / c.AU2cm ** 3),
         )
         return env, tenv
 

@@ -153,9 +153,13 @@ def reduce_fields(tab: optics.McTables, cells: mcrt.McCells,
     ratio = flux_UV / jnp.maximum(flux_UV_unatten, 1e-300)
     Av_toStar = jnp.where(
         (flux_UV > 0.0) & (flux_UV_unatten > 0.0),
-        jnp.clip(-1.086 * jnp.log(jnp.maximum(ratio, 1e-300))
-                 / c.UVext2Av, 0.0, 1e99),
-        1e99)
+        jnp.clip(-1.086 * jnp.log(jnp.maximum(ratio, 1e-30))
+                 / c.UVext2Av, 0.0, 1e4),
+        # unlit-cell sentinel must stay inside the f32 exponent range
+        # (this TPU backend's f64 emulation turns 1e99 into inf, and
+        # downstream inf arithmetic into NaN); Av=1e4 is opaque in
+        # every attenuation law used
+        1e4)
     G0_photoDesorb = flux_UV / c.Habing_energy_flux_CGS
     G0_H2phd = band_sum(c.lam_range_UV_H2phd) / c.Habing_energy_flux_CGS
 

@@ -81,7 +81,11 @@ class ThermalEnv(NamedTuple):
     Tdusts: jnp.ndarray               # [4]
     en_gains: jnp.ndarray             # [4] erg/s absorbed per cell (MC)
     mdusts_cell: jnp.ndarray          # [4] dust mass per cell, g
-    volume: jnp.ndarray               # cm^3
+    volume: jnp.ndarray               # AU^3 (NOT cm^3: cell volumes in
+    #   cm^3 reach ~1e42, beyond the f32 EXPONENT RANGE that this TPU
+    #   backend's extended-precision f64 emulation carries — they read
+    #   back as inf and poison the gas-grain clamp with inf/inf.  All
+    #   use sites multiply by AU2cm^3 in a range-safe order.)
 
     @staticmethod
     def default(**kw):
@@ -249,7 +253,9 @@ class ThermalBalance:
 
         def en_ex(Td):
             per_vol = coeff_i[:nd] * (Tg - Td)
-            return jnp.maximum(per_vol * tenv.volume,
+            # (per_vol * AU2cm^3) first: keeps every intermediate
+            # within the f32 exponent range (see ThermalEnv.volume)
+            return jnp.maximum((per_vol * c.AU2cm ** 3) * tenv.volume,
                                -FRAC_DUST_LOSE_EN * gains)
 
         def body(_, Td):
@@ -282,7 +288,8 @@ class ThermalBalance:
         dT = 1e-2 * Td + 1e-2
         e1 = jax.vmap(self._lut_val)(vals, Td)
         e2 = jax.vmap(self._lut_val)(vals, Td + dT)
-        slope = (e2 - e1) / dT * 4.0 * jnp.pi * tenv.mdusts_cell[:nd] \
+        slope = (e2 - e1) / dT * 4.0 * jnp.pi \
+            * (tenv.mdusts_cell[:nd] / c.AU2cm ** 3) \
             / jnp.maximum(tenv.volume, TINY)
         out = jnp.zeros_like(Td_i)
         return out.at[:nd].set(jnp.maximum(slope, 0.0))
@@ -483,7 +490,16 @@ class ThermalBalance:
             # operating point — same quantity, no statefulness)
             demit = self._demit_dtd(Td_i, tenv)
             dT_i = dT_i * demit / jnp.maximum(demit + coeff_i, TINY)
-        clamp = -FRAC_DUST_LOSE_EN * tenv.en_gains / tenv.volume
+        # the inf sentinel ("unlimited dust heating budget") must not
+        # enter arithmetic: inf/const is NaN under the TPU backend's
+        # extended-precision f64 emulation
+        eg_fin = jnp.isfinite(tenv.en_gains)
+        eg = jnp.where(eg_fin, tenv.en_gains, 0.0)
+        clamp = jnp.where(
+            eg_fin,
+            -FRAC_DUST_LOSE_EN * (eg / c.AU2cm ** 3)
+            / jnp.maximum(tenv.volume, TINY),
+            -1e30)
         en_ex = jnp.maximum(coeff_i * dT_i, clamp)
         c_gg = jnp.where(T > 0, jnp.sum(en_ex), 0.0)
 
@@ -496,14 +512,19 @@ class ThermalBalance:
         beta146 = tau2beta(Ncol_min * Z_O / 3.7e20)
         t2o = Tpos ** 0.45
         t3o = Tpos ** 0.66
-        tmp1 = n + beta63 * 1.66e-5 / (1.35e-11 * t2o)
-        tmp2 = n + beta146 * 8.46e-5 / (4.37e-12 * t3o)
+        # normalized by n (u1,u2) and n^2 (tmp5n): the raw reference
+        # expression's intermediates (n^3 * exp(98/T) etc.) exceed the
+        # f32 exponent range of the TPU backend's f64 emulation at
+        # midplane densities and turn into inf/inf = NaN; algebraically
+        # identical to heating_cooling.f90:936-1026
+        u1 = 1.0 + beta63 * 1.66e-5 / (1.35e-11 * t2o * n)
+        u2 = 1.0 + beta146 * 8.46e-5 / (4.37e-12 * t3o * n)
         tmp3 = _exp(98.0 / Tpos)
         tmp4 = _exp(228.0 / Tpos)
-        tmp5 = n * n + tmp3 * tmp1 * (3.0 * n + tmp4 * 5.0 * tmp2)
+        tmp5n = 1.0 + tmp3 * u1 * (3.0 + tmp4 * 5.0 * u2)
         cool_63 = 3.15e-14 * 8.46e-5 * beta63 * Z_O * 3.2e-4 * n * tmp3 \
-            * 3.0 * n * tmp1 / tmp5
-        cool_146 = 1.35e-14 * 1.66e-5 * beta146 * Z_O * 3.2e-4 * n ** 3 / tmp5
+            * 3.0 * u1 / tmp5n
+        cool_146 = 1.35e-14 * 1.66e-5 * beta146 * Z_O * 3.2e-4 * n / tmp5n
         n_cr_E = 1.3e6 * (Tpos / 1e4) ** (-0.58)
         # 6.63e-34 (SI Planck constant) reproduced verbatim from the
         # reference (heating_cooling.f90:986 uses phy_hPlanck_SI)
@@ -557,7 +578,12 @@ class ThermalBalance:
             (X_CO > 0) & (X_H2 > 0) & (T > 0),
             n_H2 * n_co / (1.0 / (L0v + TINY) + n_H2 / (LTEv + TINY)), 0.0)
 
-        ph2 = self.neufeld_h2.params(Tpos)
+        # the exp(-509/T) Boltzmann factor is factored OUT of the
+        # 1/L0 division chain (C = boltz * n^2 / D with D built from the
+        # unsuppressed L values): the suppressed L0/L_LTE underflow the
+        # TPU backend's f32-exponent f64 emulation at low T and the
+        # chain becomes 0/0 (see NeufeldH2.params_scaled)
+        ph2, h2_boltz = self.neufeld_h2.params_scaled(Tpos)
         L0 = ph2.L0 + TINY
         L_LTE = ph2.L_LTE + TINY
         t1h2 = jnp.where(ph2.alpha > 0,
@@ -566,7 +592,8 @@ class ThermalBalance:
                          0.0)
         c_h2_rot = jnp.where(
             (X_H2 > 0) & (T > 0),
-            n_H2 * n_H2 / (1.0 / L0 + n_H2 / L_LTE + t1h2), 0.0)
+            h2_boltz * n_H2 * n_H2
+            / (1.0 / L0 + n_H2 / L_LTE + t1h2), 0.0)
 
         # 11. Lyman-alpha (collisional excitation of H)
         c_lya = jnp.where(T > 0, 7.3e-19 * n * n * X_HI * X_E

@@ -87,8 +87,9 @@ def test_run_completes_with_sane_state(tiny_model):
     assert len(ibad) == 0, (
         f"unphysical abundances in clean cells for "
         f"{[m.net.species[i] for i in ibad]}")
-    # temperatures evolved to something physical
-    assert (m.Tgas[clean] > 1.0).all() and (m.Tgas[clean] < 5e3).all()
+    # temperatures evolved to something physical (X-ray heated surface
+    # cells legitimately reach ~1e4 K, cf. the verify model)
+    assert (m.Tgas[clean] > 1.0).all() and (m.Tgas[clean] < 3e4).all()
     # most cells solved cleanly
     frac_bad = (m.quality[act] > 0).mean()
     assert frac_bad < 0.5, frac_bad

@@ -1,6 +1,8 @@
 """Thermal balance, table accessors, and column/shielding tests."""
 
 import jax
+
+import rac2d_tpu.constants as c
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -95,7 +97,7 @@ def test_thermal_tandem_and_dynamic_alpha(network):
         Tdusts=jnp.array([50.0, 0, 0, 0]),
         en_gains=jnp.array([1e-8, jnp.inf, jnp.inf, jnp.inf]),
         mdusts_cell=jnp.array([1e10, 0, 0, 0]),
-        volume=1e40, omega_Kepler=1e-8, alpha_viscosity=0.01)
+        volume=1e40 / c.AU2cm ** 3, omega_Kepler=1e-8, alpha_viscosity=0.01)
     tenv = thermal.ThermalEnv.default(**kw)
     rng = np.random.default_rng(3)
     y = jnp.asarray(np.concatenate(
