@@ -122,3 +122,49 @@ def read_fits_image(path):
     n = int(np.prod(shape))
     data = np.frombuffer(raw[pos:pos + n * 8], dtype=">f8").reshape(shape)
     return data, hdrs
+
+
+def _parse_hdu(raw, pos):
+    """Parse one HDU starting at byte pos; returns (hdrs, data, next_pos)
+    or None at EOF."""
+    if pos >= len(raw):
+        return None
+    hdrs = {}
+    end = False
+    while not end:
+        block = raw[pos:pos + BLOCK]
+        if len(block) < BLOCK:
+            return None
+        pos += BLOCK
+        for i in range(0, BLOCK, 80):
+            card = block[i:i + 80].decode("ascii", "replace")
+            if card.startswith("END"):
+                end = True
+                break
+            if "=" in card:
+                hdrs[card[:8].strip()] = card[10:].split("/")[0].strip()
+    naxis = int(hdrs.get("NAXIS", 0))
+    shape = tuple(int(hdrs[f"NAXIS{i + 1}"])
+                  for i in range(naxis))[::-1]
+    n = int(np.prod(shape)) if shape else 0
+    data = np.frombuffer(raw[pos:pos + n * 8],
+                         dtype=">f8").reshape(shape) if n else None
+    nbytes = n * 8
+    pos += nbytes + ((-nbytes) % BLOCK if nbytes else 0)
+    return hdrs, data, pos
+
+
+def read_fits_extension(path, name):
+    """Data array of the extension whose EXTNAME matches (case-
+    insensitive), or None."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    pos = 0
+    while True:
+        parsed = _parse_hdu(raw, pos)
+        if parsed is None:
+            return None
+        hdrs, data, pos = parsed
+        ext = hdrs.get("EXTNAME", "").strip().strip("'").strip()
+        if ext.upper() == name.upper():
+            return data

@@ -688,7 +688,12 @@ class DiskModel:
         (ok mask over the first n_real lanes, total accepted steps)."""
         cfg = self.cfg
         nS = self.net.n_species
+        t_env0 = time.time()
         env, tenv = self.assemble_envs(idx)
+        # accumulated per sweep; surfaced in the stage-timing line so a
+        # host-side env-assembly regression is visible next to solve time
+        self._t_envs = getattr(self, "_t_envs", 0.0) \
+            + (time.time() - t_env0)
         y0b = jnp.asarray(self.X[:, idx].T)
         T0b = jnp.asarray(self.Tgas[idx])
         rtol, atol = odesys.tolerance_ladder(
@@ -832,9 +837,11 @@ class DiskModel:
                 self.run_mc(seed=it)
             stage_t["mc"] = time.time() - t_st
             t_st = time.time()
+            self._t_envs = 0.0
             frac = self.chemistry_step(iiter=it)
             stage_t["chemistry"] = time.time() - t_st
             stage_t["shielding"] = getattr(self, "_t_shield", 0.0)
+            stage_t["env-assembly"] = getattr(self, "_t_envs", 0.0)
             if save_dir is not None:
                 from . import output as outmod
                 import pathlib

@@ -207,11 +207,34 @@ class LineImaging:
         spec = I.sum(axis=(0, 1)) * pix_sr / c.jansky2CGS
         int_map = (I - 0.5 * (I[:, :, :1] + I[:, :, -1:])).sum(-1) * dfreq
         if out_fits:
+            # line metadata cards the reference records in every cube
+            # (ray_tracing.f90:730-753) — the downstream batch analysis
+            # (utils_python fits_proc.specline) keys on these by name
+            mol = self.mol
+            iu, il = int(mol.iup[itr]), int(mol.ilow[itr])
+            jansky2SI = 1e-26
+            base = np.linspace(spec[0], spec[-1], len(spec))
+            df = abs(dfreq)
             fitsio.write_cube_fits(
                 out_fits, I, freqs=freqs, tau_map=tau, int_map=int_map,
                 ncol_up=Nu, ncol_low=Nl, spectrum=spec,
-                header={"LINE": self.mol.name.strip()[:18],
-                        "RESTFRQ": f0, "THETA": float(theta),
+                header={"EXTNAME": "LineCube",
+                        "LINE": mol.name.strip()[:18],
+                        "MOL-DB": mol.name.strip()[:18],
+                        "RESTFRQ": f0, "F0": f0,
+                        "LAM0": float(mol.lam_A[itr]),
+                        "EUP": float(mol.Eup_K[itr]),
+                        "ELOW": float(mol.energy_K[il]),
+                        "AUL": float(mol.Aul[itr]),
+                        "BUL": float(mol.Bul[itr]),
+                        "BLU": float(mol.Blu[itr]),
+                        "QNUM": f"{iu}->{il}",
+                        "MAXFLUX": float(np.max(spec)),
+                        "MAXTAU": float(np.max(tau)),
+                        "INTFLUX": float(np.sum(spec) * jansky2SI * df),
+                        "INTFLUXL": float(np.sum(spec - base)
+                                          * jansky2SI * df),
+                        "THETA": float(theta),
                         "DIST": cfg.dist_pc})
         return I, tau, Nu, Nl, spec
 

@@ -226,3 +226,213 @@ def parse_contributions(path):
                 rxn = parts[2] if len(parts) > 2 else ""
                 out[cur][mode].append((rate, frac, rxn))
     return out
+
+
+# ----------------------------------------------------------------------
+# spectral-line product loader (role of the reference's
+# utils_python/draw/fits_proc.py:7-189 ``specline``: one object per line
+# cube carrying transition metadata + flux spectrum, the unit of the
+# batch model-vs-observation comparisons)
+# ----------------------------------------------------------------------
+
+class SpecLine:
+    """Load one line-cube FITS written by models/imaging.py and expose
+    the transition metadata cards (ray_tracing.f90:730-753 card set) and
+    the flux spectrum with velocity axis."""
+
+    _FLOATS = {"F0": "f0", "LAM0": "lam0_A", "EUP": "E_up",
+               "ELOW": "E_low", "AUL": "Aul", "BUL": "Bul", "BLU": "Blu",
+               "INTFLUX": "intflux", "INTFLUXL": "intfluxl",
+               "MAXFLUX": "maxflux", "MAXTAU": "maxtau",
+               "THETA": "theta", "DIST": "dist", "RESTFRQ": "restfrq",
+               "CRVAL3": "fmin", "CDELT3": "df"}
+
+    def __init__(self, path):
+        from .io.fits import read_fits_image
+        data, hdr = read_fits_image(path)
+        self.cube = np.transpose(data, (2, 1, 0))  # back to (nx, ny, nf)
+        self.header = hdr
+        for card, attr in self._FLOATS.items():
+            v = hdr.get(card)
+            setattr(self, attr, float(v) if v is not None else None)
+        for card, attr in (("MOL-DB", "molname"), ("LINE", "molname"),
+                           ("QNUM", "qnum")):
+            v = hdr.get(card)
+            if v is not None and getattr(self, attr, None) is None:
+                setattr(self, attr, v.strip().strip("'").strip())
+        self.qnum = getattr(self, "qnum", "")
+        self.molname = getattr(self, "molname", "")
+        nf = self.cube.shape[2]
+        if self.fmin is not None and self.df is not None:
+            self.f = self.fmin + np.arange(nf) * self.df
+        else:
+            self.f = np.arange(nf, dtype=float)
+        f0 = self.f0 or self.restfrq
+        if f0:
+            self.v = (f0 - self.f) * (2.99792458e10 / f0)  # cm/s
+        else:
+            self.v = np.zeros(nf)
+        # flux spectrum: prefer the recorded FLUXSPEC extension, else
+        # rebuild from the cube (needs DIST) — cube is in CGS intensity
+        from .io.fits import read_fits_extension
+        spec = read_fits_extension(path, "FLUXSPEC")
+        self.spec = None if spec is None else np.asarray(spec, float)
+
+    def integrated_flux(self, remove_baseline=True):
+        """Integral of the flux spectrum in W/m^2 (reference
+        get_spec_sum * jansky2SI * df, ray_tracing.f90:1433-1450)."""
+        if self.spec is None or self.df is None:
+            raise ValueError("no FLUXSPEC extension / frequency axis")
+        s = self.spec.astype(float)
+        if remove_baseline:
+            s = s - np.linspace(s[0], s[-1], len(s))
+        return float(np.sum(s) * 1e-26 * abs(self.df))
+
+
+# ----------------------------------------------------------------------
+# structure diagnostics (reference utils_python/draw/scale_height.py)
+# ----------------------------------------------------------------------
+
+def scale_height(table):
+    """Density-weighted rms z per radial column: H(r) such that
+    <z^2>_n = H^2 for a Gaussian layer.  Returns (r_centers, H)."""
+    r = 0.5 * (table["rmin"] + table["rmax"])
+    z = 0.5 * (table["zmin"] + table["zmax"])
+    n = table["n_gas"]
+    use = table.get("using", np.ones(len(r), bool)).astype(bool)
+    vol = table.get("vol", (table["rmax"] - table["rmin"])
+                   * (table["zmax"] - table["zmin"]) * r)
+    rc = np.unique(np.round(r[use], 10))
+    H = np.empty(len(rc))
+    for i, r0 in enumerate(rc):
+        m = use & (np.abs(r - r0) <= 1e-9 + 1e-6 * r0)
+        w = n[m] * vol[m]
+        H[i] = np.sqrt(np.sum(w * z[m] ** 2) / max(np.sum(w), 1e-300))
+    return rc, H
+
+
+def stokes_number(table, mstar_gram, a0_grain_CGS, beta=-0.3,
+                  rho_grain_CGS=2.0):
+    """Grain Stokes number per cell (reference scale_height.py:26-29:
+    St = w_Kep * a_grain * rho_grain / (c_sound * n_gas * m_p), with the
+    grain size a power law in radius a = a0 * r^beta).  w_Kep and
+    c_sound are derived from the saved columns rather than re-read."""
+    G = 6.674e-8
+    kB = 1.380649e-16
+    mp = 1.67262192e-24
+    AU = 1.495978707e13
+    r = 0.5 * (table["rmin"] + table["rmax"])
+    a_grain = a0_grain_CGS * r ** beta
+    w_Kep = np.sqrt(G * mstar_gram / (r * AU) ** 3)
+    c_sound = np.sqrt(kB * np.maximum(table["Tgas"], 1.0) / (2.3 * mp))
+    return w_Kep * a_grain * rho_grain_CGS / (
+        c_sound * np.maximum(table["n_gas"], 1e-300) * mp)
+
+
+def settling_factor(stokes, alpha=0.01, alpha_scaling=1.0):
+    """Dust settling scale-height factor (reference
+    scale_height.py:31-32): H_dust/H_gas =
+    sqrt(alpha / (min(St, 0.5) * (1 + St)))."""
+    st = np.asarray(stokes, float)
+    return np.sqrt(alpha_scaling * alpha
+                   / (np.minimum(st, 0.5) * (1.0 + st)))
+
+
+def tau_surface(table, kappa_per_H, tau0=1.0):
+    """z of the tau = tau0 surface per column, integrating kappa_per_H
+    [cm^2 per H nucleus] times n_gas downward from the top (the standard
+    disk diagnostic the reference's mesh figures overlay).  Returns
+    (r_centers, z_tau) with z_tau = 0 where the column never reaches
+    tau0."""
+    AU = 1.495978707e13
+    r = 0.5 * (table["rmin"] + table["rmax"])
+    use = table.get("using", np.ones(len(r), bool)).astype(bool)
+    rc = np.unique(np.round(r[use], 10))
+    z_tau = np.zeros(len(rc))
+    for i, r0 in enumerate(rc):
+        m = np.nonzero(use & (np.abs(r - r0) <= 1e-9 + 1e-6 * r0))[0]
+        order = np.argsort(-table["zmax"][m])       # top down
+        tau = 0.0
+        for j in m[order]:
+            dz = (table["zmax"][j] - table["zmin"][j]) * AU
+            dtau = kappa_per_H * table["n_gas"][j] * dz
+            if tau + dtau >= tau0:
+                frac = (tau0 - tau) / max(dtau, 1e-300)
+                z_tau[i] = table["zmax"][j] - frac * (
+                    table["zmax"][j] - table["zmin"][j])
+                break
+            tau += dtau
+    return rc, z_tau
+
+
+# ----------------------------------------------------------------------
+# spherical-grid export (reference utils_python/draw/misc.py:23-70
+# ``to_spherical``: resample the cylindrical cell model onto an
+# (r, theta, phi) grid, e.g. as RADMC-3D input) — vectorized
+# ----------------------------------------------------------------------
+
+def to_spherical(table, fields, r_grid, theta_grid, phi_grid=(0.0, 1.0)):
+    """Sample per-cell quantities at the centers of a spherical grid.
+
+    fields: {name: per-cell array}; r_grid [AU], theta_grid [rad,
+    measured from the pole], phi_grid [rad] are BOUNDARY points.
+    Returns {name: array [nphi-1, ntheta-1, nr-1]} in the reference's
+    write order (phi slowest, r fastest); cells outside the cylindrical
+    model get 0."""
+    r_c = 0.5 * (np.asarray(r_grid)[:-1] + np.asarray(r_grid)[1:])
+    t_c = 0.5 * (np.asarray(theta_grid)[:-1] + np.asarray(theta_grid)[1:])
+    nphi = len(phi_grid) - 1
+    rho = r_c[None, :] * np.sin(t_c)[:, None]       # [nt, nr] cyl radius
+    zz = np.abs(r_c[None, :] * np.cos(t_c)[:, None])
+    r0, r1 = table["rmin"], table["rmax"]
+    z0, z1 = table["zmin"], table["zmax"]
+    use = table.get("using", np.ones(len(r0), bool)).astype(bool)
+    inside = ((rho[..., None] >= r0) & (rho[..., None] < r1)
+              & (zz[..., None] >= z0) & (zz[..., None] < z1) & use)
+    icell = np.argmax(inside, axis=-1)              # first hit
+    hit = inside.any(axis=-1)
+    out = {}
+    for name, vals in fields.items():
+        v = np.where(hit, np.asarray(vals, float)[icell], 0.0)
+        out[name] = np.broadcast_to(v, (nphi,) + v.shape).copy()
+    return out
+
+
+def write_radmc_inp(path, arr):
+    """Write a to_spherical field in the reference's flat one-value-per-
+    line .inp format (misc.py:56-68 write order)."""
+    with open(path, "w") as f:
+        for val in np.asarray(arr).reshape(-1):
+            f.write("{0:.6e}\n".format(val))
+
+
+# ----------------------------------------------------------------------
+# species-name group selectors (reference misc.py:201-238)
+# ----------------------------------------------------------------------
+
+def _counts(name):
+    import re
+    body = name.lstrip("g").rstrip("+-")
+    return {el: sum(int(k) if k else 1 for _, k in
+                    re.findall(r"(%s)(\d*)" % el, body))
+            for el in ("H", "C", "N", "O", "S", "Si", "F", "P",
+                       "Na", "Mg", "Fe", "Cl", "He")}
+
+
+def hydrocarbons(names):
+    """Species made of C and H only (with C present), as the reference
+    groups them for the C2H figure set (misc.py:201-214)."""
+    import re
+    out = []
+    for nm in names:
+        body = nm.lstrip("g").rstrip("+-")
+        if re.fullmatch(r"(?:[CH]\d*)+", body) and "C" in body:
+            out.append(nm)
+    return out
+
+
+def nitrogen_bearing(names):
+    """Species containing N (not Na/Ni...) (misc.py:215-222)."""
+    import re
+    return [nm for nm in names
+            if re.search(r"N(?![ai])", nm.lstrip("g"))]

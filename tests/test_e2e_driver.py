@@ -142,3 +142,15 @@ def test_sed_and_line_cube(tiny_model, tmp_path):
     from rac2d_tpu.io import fits as fitsio
     back = fitsio.read_fits_image(str(fits_path))
     assert back[0].shape[-1] == 16 or back[0].size > 0
+    # the line-metadata card set (ray_tracing.f90:730-753) must round-
+    # trip through the SpecLine loader
+    from rac2d_tpu import postprocess as pp
+    sl = pp.SpecLine(str(fits_path))
+    itr = int(li.transitions[0])
+    np.testing.assert_allclose(sl.f0, float(li.mol.freq[itr]))
+    np.testing.assert_allclose(sl.E_up, float(li.mol.Eup_K[itr]))
+    np.testing.assert_allclose(sl.Aul, float(li.mol.Aul[itr]))
+    np.testing.assert_allclose(sl.spec, np.asarray(spec), rtol=1e-6)
+    assert sl.maxtau is not None and sl.intfluxl is not None
+    np.testing.assert_allclose(sl.integrated_flux(remove_baseline=True),
+                               sl.intfluxl, rtol=1e-6, atol=1e-40)

@@ -74,3 +74,103 @@ def test_parse_contributions(tmp_path):
     assert len(d["CO"]["produce"]) == 2
     assert d["CO"]["produce"][0][1] == pytest.approx(0.6)
     assert "PHOTON" in d["CO"]["destroy"][0][2]
+
+
+def test_specline_roundtrip(tmp_path):
+    """SpecLine must recover the metadata cards and reproduce the
+    INTFLUX/INTFLUXL integrals (reference fits_proc.specline reads the
+    same card set that ray_tracing.f90:730-753 writes)."""
+    from rac2d_tpu import postprocess as pp
+    from rac2d_tpu.io import fits as fitsio
+    nf, ny, nx = 16, 4, 4
+    f0 = 345.796e9
+    df = 1e5
+    freqs = f0 + (np.arange(nf) - nf / 2) * df
+    cube = np.random.default_rng(1).random((nx, ny, nf))
+    spec = cube.sum(axis=(0, 1))
+    base = np.linspace(spec[0], spec[-1], nf)
+    hdr = {"EXTNAME": "LineCube", "F0": f0, "LAM0": 8669.9,
+           "EUP": 33.2, "ELOW": 16.6, "AUL": 2.5e-6,
+           "BUL": 1.1e4, "BLU": 3.3e4, "QNUM": "3->2",
+           "MOL-DB": "CO", "MAXFLUX": float(spec.max()),
+           "MAXTAU": 7.5,
+           "INTFLUX": float(spec.sum() * 1e-26 * df),
+           "INTFLUXL": float((spec - base).sum() * 1e-26 * df),
+           "THETA": 7.0, "DIST": 54.0}
+    p = tmp_path / "line.fits"
+    fitsio.write_cube_fits(p, cube, freqs=freqs, spectrum=spec,
+                           header=hdr)
+    sl = pp.SpecLine(p)
+    assert sl.molname == "CO" and sl.qnum == "3->2"
+    np.testing.assert_allclose(sl.f0, f0)
+    np.testing.assert_allclose(sl.E_up, 33.2)
+    np.testing.assert_allclose(sl.dist, 54.0)
+    np.testing.assert_allclose(sl.spec, spec, rtol=1e-12)
+    # velocity axis: v=0 at the rest frequency
+    iv0 = np.argmin(np.abs(sl.v))
+    assert abs(sl.f[iv0] - f0) <= df
+    np.testing.assert_allclose(sl.integrated_flux(False), sl.intflux,
+                               rtol=1e-10)
+    np.testing.assert_allclose(sl.integrated_flux(True), sl.intfluxl,
+                               rtol=1e-8)
+
+
+def test_scale_height_and_tau_surface():
+    """A discretized Gaussian layer must return H ~ the input scale
+    height, and the tau=1 surface must sit where the analytic overhead
+    column reaches 1/kappa."""
+    from rac2d_tpu import postprocess as pp
+    import rac2d_tpu.constants as c
+    H_in = 1.0      # AU
+    nz, dz = 120, 0.05
+    zmin = np.arange(nz) * dz
+    t = dict(rmin=np.full(nz, 1.0), rmax=np.full(nz, 1.5),
+             zmin=zmin, zmax=zmin + dz,
+             n_gas=1e8 * np.exp(-0.5 * ((zmin + dz / 2) / H_in) ** 2),
+             Tgas=np.full(nz, 50.0), using=np.ones(nz, bool))
+    rc, H = pp.scale_height(t)
+    assert len(rc) == 1
+    np.testing.assert_allclose(H[0], H_in, rtol=0.05)
+    # kappa chosen so tau0=1 is reached at a known overhead column
+    N_target = 1e8 * H_in * c.AU2cm * np.sqrt(2 * np.pi) * 0.2
+    kappa = 1.0 / N_target
+    rc, z1 = pp.tau_surface(t, kappa)
+    # invert: expected z where erfc(z/H/sqrt2)/2 * full column = N_target
+    from math import erf
+    col = lambda z: (1e8 * H_in * c.AU2cm * np.sqrt(2 * np.pi)
+                     * 0.5 * (1 - erf(z / H_in / np.sqrt(2))))
+    zs = np.linspace(0, 6, 4000)
+    z_expect = zs[np.argmin(np.abs([col(z) - N_target for z in zs]))]
+    np.testing.assert_allclose(z1[0], z_expect, atol=0.08)
+    st = pp.stokes_number(t, 2e33, 1e-5)
+    assert (st > 0).all() and np.isfinite(st).all()
+    fac = pp.settling_factor(st)
+    assert (fac > 0).all()
+
+
+def test_to_spherical_and_groups(tmp_path):
+    from rac2d_tpu import postprocess as pp
+    n = 8
+    t = dict(rmin=np.array([1., 1., 1., 1., 3., 3., 3., 3.]),
+             rmax=np.array([3., 3., 3., 3., 9., 9., 9., 9.]),
+             zmin=np.tile([0., 2.], 4)[:n],
+             zmax=np.tile([2., 8.], 4)[:n],
+             using=np.ones(n, bool))
+    vals = np.arange(n, dtype=float) + 1
+    r_grid = np.array([1.0, 3.0, 9.0])
+    theta_grid = np.array([0.0, np.pi / 4, np.pi / 2])
+    out = pp.to_spherical(t, {"v": vals}, r_grid, theta_grid)
+    v = out["v"]
+    assert v.shape == (1, 2, 2)
+    # theta near pole (first bin center pi/8): point at r=2 -> rho=0.77,
+    # z=1.85 -> inner column upper cell? rho<1 -> outside -> 0
+    assert v[0, 1, 0] == 1.0   # near midplane, inner radius: cell 0
+    p = tmp_path / "v.inp"
+    pp.write_radmc_inp(p, v)
+    vals_back = np.loadtxt(p)
+    assert len(vals_back) == v.size
+    names = ["H2", "C2H2", "CH4", "HCN", "NH3", "Na", "CO", "gC3H2+"]
+    hc = pp.hydrocarbons(names)
+    assert set(hc) == {"C2H2", "CH4", "gC3H2+"}
+    nb = pp.nitrogen_bearing(names)
+    assert "HCN" in nb and "NH3" in nb and "Na" not in nb
