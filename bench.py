@@ -257,12 +257,18 @@ def bench_chem():
     # TPU device watchdog
     cont = os.environ.get("RAC2D_BENCH_CONTINUOUS", "1") == "1"
 
+    # production run: small advance calls (32 rounds, a traced arg — no
+    # recompile) so the wall guard's check granularity is seconds, not
+    # minutes; r03's chem_prod loss was the 256-round granularity
+    # overshooting the child deadline after a long cold compile
+    rpc = 32 if (evolT and t_max >= 1e6) else 256
+
     def solve(y, T, tts, wall=None):
         return ode.solve_batched(
             envs, y, T, tts, rtol_b, atol_b, first_step=1e-8,
             evolT=evolT, tenvs=tenvs, continuous=cont,
             max_steps_per_interval=400, host_loop=True,
-            max_wall_s=wall,
+            max_wall_s=wall, rounds_per_call=rpc,
             # inexact Newton: skip the f64 refinement matvec (emulated
             # f64 dominates TPU round time); Newton's own convergence
             # test still bounds the corrector residual.  Accuracy of
@@ -282,19 +288,26 @@ def bench_chem():
     # budget-exempt by design).
     t_child0 = time.time()
     if cont:
-        res = solve(y0b, T0b, touts, wall=30.0)
+        # wall=1: compile-exempt first advance call, then stop at the
+        # next wall check — the warmup's only job is to compile/load
+        res = solve(y0b, T0b, touts, wall=1.0)
     else:
         res = solve(y0b, T0b, touts[:3])
     jax.block_until_ready(res.ys)
+    sys.stderr.write(f"bench_chem warmup {time.time() - t_child0:.1f}s\n")
+    sys.stderr.flush()
     # production workload (coupled-T to 1e6 yr): cap the TIMED run so
     # its line always lands within the child budget — steps/s is valid
     # on a partial integration, and lane progress is reported alongside
     # (the COMPLETION proof is tests/test_chem_production.py, which
-    # integrates the same system to 1e6 yr in CI)
+    # integrates the same system to 1e6 yr in CI).  The wall is
+    # DEADLINE-aware: never floor it past what is actually left (r03's
+    # 120s floor + cold compile guaranteed a timeout).
     child_cap = float(os.environ.get("RAC2D_BENCH_CHILD_TIMEOUT", 1e9))
     wall = None
     if evolT and t_max >= 1e6 and child_cap < 1e8:
-        wall = max(child_cap - (time.time() - t_child0) - 120.0, 120.0)
+        remaining = child_cap - (time.time() - t_child0)
+        wall = max(min(remaining - 120.0, child_cap), 30.0)
     t0 = time.time()
     res = solve(y0b, T0b, touts, wall=wall)
     jax.block_until_ready(res.ys)
@@ -572,14 +585,17 @@ def main():
     # headline FIRST (its line must exist even if a later metric crashes
     # the TPU client or the driver's outer timeout fires), re-printed
     # LAST so a last-line parser also sees it on full completion.
+    # order = budget priority: the two headline chemistry numbers, the
+    # MC rate, the end-to-end iteration, then the CPU-mesh scaling lines
+    # (also covered by CI + the multichip dryrun) last
     jobs = [("chem", lambda: _run_child("chem", 800)),
             ("chem_prod", lambda: _run_child("chem_prod", 1100, prod_env)),
             ("mc", lambda: _run_child("mc", 700)),
+            ("iteration", lambda: _run_child("iteration", 600)),
             ("scaling", lambda: _run_child("scaling", 400,
                                            _cpu_mesh_env())),
             ("scaling_mc", lambda: _run_child("scaling_mc", 400,
-                                              _cpu_mesh_env())),
-            ("iteration", lambda: _run_child("iteration", 600))]
+                                              _cpu_mesh_env()))]
     headline = None
     for name, fn in jobs:
         if only and name != only:

@@ -231,7 +231,8 @@ class ChemicalODE:
                       n_refine: int = 1, host_loop: bool = False,
                       continuous: bool = False,
                       max_wall_s: float | None = None,
-                      progress_cb=None) -> bdfmod.BDFResult:
+                      progress_cb=None,
+                      rounds_per_call: int = 256) -> bdfmod.BDFResult:
         """Batch-native solve: envs/tenvs fields and y0/T0/rtol/atol carry
         a leading batch axis; touts is shared.  Uses bdf_solve_batch so
         Jacobian/factorization refreshes are batch-global branches (a
@@ -265,7 +266,10 @@ class ChemicalODE:
                 f_b, jac_b, y0, 0.0, touts, rtol, atol, first_step,
                 max_steps_per_interval, sanity_b, n_refine,
                 max_wall_s=max_wall_s, progress_cb=progress_cb,
-                args=args, advance_fn=advance)
+                args=args, advance_fn=advance,
+                # traced arg: smaller values tighten the wall guard's
+                # check granularity without recompiling
+                rounds_per_call=rounds_per_call)
         if host_loop:
             key = ("rec", evolT, tenvs is not None,
                    max_steps_per_interval, n_refine)
