@@ -176,6 +176,10 @@ class BDFResult(NamedTuple):
     n_feval: jnp.ndarray
     n_jeval: jnp.ndarray
     n_lu: jnp.ndarray
+    # per-lane tolerance-relaxation level reached by the retry ladder of
+    # bdf_solve_batch_cont (0 = solved at the requested tolerances);
+    # None for solvers without a ladder
+    retry_level: jnp.ndarray | None = None
 
 
 def _newton(f, fac: MPFactor, c, psi, y_pred, scale, tol):
@@ -1051,6 +1055,51 @@ def make_advance_jit(f_b: Callable, jac_b: Callable,
     return jax.jit(advance)
 
 
+def _ladder_rollback(cst: ContState, mask, touts_j, y0_cur, t0,
+                     first_step):
+    """Roll the masked (failed) lanes back to their LAST RECORDED state
+    and reset their solver state for a relaxed-tolerance retry: order 1,
+    cleared difference history (D[1]=0 -> first step is a plain backward
+    Euler from the rollback point), small h, forced Jacobian refresh.
+    This is the per-lane analogue of the reference's tolerance-ladder
+    restart (src/chemistry.f90:272-387: relax flags, re-enter the record
+    interval from its start)."""
+    st = cst.st
+    B = st.t.shape[0]
+    n_out = touts_j.shape[0]
+    m = jnp.asarray(mask)
+    prev = cst.irec - 1
+    has_prev = prev >= 0
+    prev_c = jnp.clip(prev, 0, n_out - 1)
+    t_back = jnp.where(has_prev, touts_j[prev_c],
+                       jnp.full(B, t0, jnp.float64))
+    y_back = jnp.where(has_prev[:, None],
+                       cst.ys[jnp.arange(B), prev_c], y0_cur)
+    h_back = jnp.maximum(jnp.asarray(first_step, jnp.float64),
+                         1e-8 * jnp.abs(t_back))
+    D_back = jnp.zeros_like(st.D).at[:, 0, :].set(y_back)
+    sel = lambda new, old: jnp.where(m, new, old)   # noqa: E731
+    selD = jnp.where(m[:, None, None], D_back, st.D)
+    st2 = st._replace(
+        t=sel(t_back, st.t), h=sel(h_back, st.h),
+        order=sel(jnp.ones(B, jnp.int32), st.order).astype(jnp.int32),
+        D=selD, n_equal=sel(jnp.zeros(B, jnp.int32), st.n_equal),
+        fail=st.fail & ~m,
+        jfresh=st.jfresh & ~m,
+        need_j=st.need_j | m)
+    return cst._replace(st=st2,
+                        since=sel(jnp.zeros(B, jnp.int32), cst.since))
+
+
+def _gather_cont(cst: ContState, rtol, atol, args, y0, idx):
+    """Select lanes `idx` of every leading-batch array (state, tolerance
+    rows, problem args) for the straggler-compaction ladder."""
+    g = lambda a: a[idx]                               # noqa: E731
+    cst2 = jax.tree.map(g, cst)
+    return (cst2, rtol[idx], atol[idx],
+            jax.tree.map(g, args) if args is not None else None, y0[idx])
+
+
 def bdf_solve_batch_cont(f_b: Callable, jac_b: Callable, y0, t0, touts,
                          rtol, atol, first_step,
                          max_steps_per_interval: int = 2000,
@@ -1059,13 +1108,31 @@ def bdf_solve_batch_cont(f_b: Callable, jac_b: Callable, y0, t0, touts,
                          max_wall_s: float | None = None,
                          progress_cb: Callable | None = None,
                          args=None, advance_fn=None,
-                         rounds_per_call: int = 256) -> BDFResult:
+                         rounds_per_call: int = 256,
+                         retry_tols=None,
+                         compact_min: int = 0) -> BDFResult:
     """Host-driven continuous-recording batch solve (see
     make_advance_jit): bounded device programs of rounds_per_call BDF
     rounds each, NO per-tout barrier.  Same result shapes/semantics as
     bdf_solve_batch_host; recorded trajectories differ only through the
     batch-global refresh coupling (the per-lane step control is
-    identical)."""
+    identical).
+
+    retry_tols: optional list of (rtol_row, atol_row) [NEQ] vectors —
+    the per-lane tolerance-relaxation ladder (reference
+    chem_set_solver_flags_alt + restart, src/chemistry.f90:205-268,
+    272-387): a lane that fails (h underflow, insane state, or the
+    per-interval round budget) is rolled back to its last recorded
+    state, its tolerance rows are replaced by the next ladder level, and
+    it re-integrates from there; it only counts as failed once the
+    ladder is exhausted.
+
+    compact_min: if > 0, retire finished/failed lanes by compacting the
+    live ones into pow2-smaller batches (halving, never below
+    compact_min) — the straggler tail then pays per-round cost
+    proportional to the LIVE width, like the MC walk's pow2 compaction
+    ladder.  Each tier is one extra compile of the advance program
+    (cached per shape)."""
     import time as _time
 
     y0 = jnp.asarray(y0, dtype=jnp.float64)
@@ -1080,10 +1147,47 @@ def bdf_solve_batch_cont(f_b: Callable, jac_b: Callable, y0, t0, touts,
         ts=jnp.zeros((B, n_out)), ys=jnp.zeros((B, n_out, NEQ)))
     advance = advance_fn if advance_fn is not None else make_advance_jit(
         f_b, jac_b, max_steps_per_interval, sanity_b, n_refine)
+    # full-width result buffers + current->original lane mapping (only
+    # diverges from identity once compaction kicks in)
+    res_full = None          # dict of np arrays, filled lazily
+    orig = np.arange(B)      # [W] original lane of each current position
+    real = np.ones(B, bool)  # [W] False for pow2-padding clone lanes
+    level = np.zeros(B, np.int32)   # [W] ladder level per position
+    n_levels = len(retry_tols) if retry_tols else 0
+    rtol_cur = jnp.asarray(rtol)
+    atol_cur = jnp.asarray(atol)
+    args_cur = args
+    y0_cur = y0
+
+    def flush(res, cst, lvl):
+        """Write current positions' results into the full buffers."""
+        if res is None:
+            res = dict(
+                ts=np.zeros((B, n_out)), ys=np.zeros((B, n_out, NEQ)),
+                t_final=np.zeros(B), fail=np.ones(B, bool),
+                n_steps=np.zeros(B, np.int64),
+                n_feval=np.zeros(B, np.int64),
+                n_jeval=np.zeros(B, np.int64),
+                n_lu=np.zeros(B, np.int64), irec=np.zeros(B, np.int32),
+                level=np.zeros(B, np.int32))
+        w = orig[real]
+        st = cst.st
+        res["ts"][w] = np.asarray(cst.ts)[real]
+        res["ys"][w] = np.asarray(cst.ys)[real]
+        res["t_final"][w] = np.asarray(st.t)[real]
+        res["fail"][w] = np.asarray(st.fail)[real]
+        res["n_steps"][w] = np.asarray(st.n_steps)[real]
+        res["n_feval"][w] = np.asarray(st.n_feval)[real]
+        res["n_jeval"][w] = np.asarray(st.n_jeval)[real]
+        res["n_lu"][w] = np.asarray(st.n_lu)[real]
+        res["irec"][w] = np.asarray(cst.irec)[real]
+        res["level"][w] = lvl[real]
+        return res
+
     t_start = None
     k = 0
     while True:
-        cst = advance(cst, touts_j, t_bound, rtol, atol, args,
+        cst = advance(cst, touts_j, t_bound, rtol_cur, atol_cur, args_cur,
                       jnp.asarray(rounds_per_call))
         jax.block_until_ready(cst.irec)
         now = _time.time()
@@ -1094,25 +1198,69 @@ def bdf_solve_batch_cont(f_b: Callable, jac_b: Callable, y0, t0, touts,
         if progress_cb is not None:
             progress_cb(k, cst.st)
         k += 1
-        if bool(((irec >= n_out) | fail).all()):
+        wall_hit = max_wall_s is not None and now - t_start > max_wall_s
+        # --- tolerance-relaxation ladder (per lane) ---
+        retryable = fail & (level < n_levels) & real
+        if retryable.any() and not wall_hit:
+            level[retryable] += 1
+            for lv in np.unique(level[retryable]):
+                rows = retryable & (level == lv)
+                r_row, a_row = retry_tols[lv - 1]
+                rtol_cur = rtol_cur.at[np.nonzero(rows)[0]].set(
+                    jnp.asarray(r_row))
+                atol_cur = atol_cur.at[np.nonzero(rows)[0]].set(
+                    jnp.asarray(a_row))
+            cst = _ladder_rollback(cst, retryable, touts_j, y0_cur, t0,
+                                   first_step)
+            fail = np.asarray(cst.st.fail)
+        done = (irec >= n_out) | fail
+        if bool(done.all()) or wall_hit:
+            if wall_hit:
+                cst = cst._replace(st=cst.st._replace(
+                    fail=cst.st.fail | (cst.irec < n_out)))
             break
-        if max_wall_s is not None and now - t_start > max_wall_s:
-            cst = cst._replace(st=cst.st._replace(
-                fail=cst.st.fail | (cst.irec < n_out)))
-            break
+        # --- straggler compaction (pow2 ladder) ---
+        W = len(orig)
+        if compact_min and W > compact_min:
+            live = ~done & real
+            n_live = int(live.sum())
+            W_new = W
+            while W_new // 2 >= max(compact_min, n_live, 1):
+                W_new //= 2
+            if W_new < W:
+                res_full = flush(res_full, cst, level)
+                sel = np.nonzero(live)[0]
+                pad = np.full(W_new - len(sel), sel[0], dtype=sel.dtype)
+                sel_p = np.concatenate([sel, pad])
+                cst, rtol_cur, atol_cur, args_cur, y0_cur = _gather_cont(
+                    cst, rtol_cur, atol_cur, args_cur, y0_cur,
+                    jnp.asarray(sel_p))
+                orig = orig[sel_p]
+                real = np.concatenate(
+                    [real[sel], np.zeros(len(pad), bool)])
+                level = level[sel_p]
+    res_full = flush(res_full, cst, level)
     # fill unrecorded entries of failed/aborted lanes with their last
     # state (the record driver repeats the last good record the same way)
-    st = cst.st
+    ts = jnp.asarray(res_full["ts"])
+    ys = jnp.asarray(res_full["ys"])
+    irec_f = jnp.asarray(res_full["irec"])
+    t_fin = jnp.asarray(res_full["t_final"])
     jr = jnp.arange(n_out)
-    open_m = jr[None, :] >= cst.irec[:, None]          # [B, n_out]
-    y_cur = st.D[:, 0]
-    ys = jnp.where(open_m[:, :, None], y_cur[:, None, :], cst.ys)
-    ts = jnp.where(open_m, jnp.minimum(st.t[:, None], touts_j[None, :]),
-                   cst.ts)
-    fail = st.fail | (cst.irec < n_out)
-    return BDFResult(ts=ts, ys=ys, t_final=st.t, fail=fail,
-                     n_steps=st.n_steps, n_feval=st.n_feval,
-                     n_jeval=st.n_jeval, n_lu=st.n_lu)
+    open_m = jr[None, :] >= irec_f[:, None]            # [B, n_out]
+    y_last = jnp.where(
+        (irec_f > 0)[:, None],
+        ys[jnp.arange(B), jnp.clip(irec_f - 1, 0, n_out - 1)], y0)
+    ys = jnp.where(open_m[:, :, None], y_last[:, None, :], ys)
+    ts = jnp.where(open_m, jnp.minimum(t_fin[:, None], touts_j[None, :]),
+                   ts)
+    fail = jnp.asarray(res_full["fail"]) | (irec_f < n_out)
+    return BDFResult(ts=ts, ys=ys, t_final=t_fin, fail=fail,
+                     n_steps=jnp.asarray(res_full["n_steps"]),
+                     n_feval=jnp.asarray(res_full["n_feval"]),
+                     n_jeval=jnp.asarray(res_full["n_jeval"]),
+                     n_lu=jnp.asarray(res_full["n_lu"]),
+                     retry_level=jnp.asarray(res_full["level"]))
 
 
 def bdf_solve_batch_host(f_b: Callable, jac_b: Callable, y0, t0, touts,

@@ -211,6 +211,17 @@ class ChemicalODE:
 
         return bad
 
+    def retry_ladder(self, levels: int, rtol0: float, atol0: float,
+                     ratioDust2HnucNum: float):
+        """(rtol_row, atol_row) vectors for ladder levels 2..levels+1 —
+        the per-lane retry ladder for solve_batched(retry_tols=...),
+        mirroring the reference's relaxed re-solves
+        (src/chemistry.f90:272-387 with flags from
+        chem_set_solver_flags_alt)."""
+        return [tolerance_ladder(self.net, lv, rtol0, atol0,
+                                 ratioDust2HnucNum)
+                for lv in range(2, 2 + levels)]
+
     # ---- solve ----------------------------------------------------------
     def solve(self, env: CellEnv, y0_species, Tgas0, touts, rtol, atol,
               first_step=1e-8, evolT: bool = False, tenv=None,
@@ -232,7 +243,9 @@ class ChemicalODE:
                       continuous: bool = False,
                       max_wall_s: float | None = None,
                       progress_cb=None,
-                      rounds_per_call: int = 256) -> bdfmod.BDFResult:
+                      rounds_per_call: int = 256,
+                      retry_tols=None,
+                      compact_min: int = 0) -> bdfmod.BDFResult:
         """Batch-native solve: envs/tenvs fields and y0/T0/rtol/atol carry
         a leading batch axis; touts is shared.  Uses bdf_solve_batch so
         Jacobian/factorization refreshes are batch-global branches (a
@@ -269,7 +282,8 @@ class ChemicalODE:
                 args=args, advance_fn=advance,
                 # traced arg: smaller values tighten the wall guard's
                 # check granularity without recompiling
-                rounds_per_call=rounds_per_call)
+                rounds_per_call=rounds_per_call,
+                retry_tols=retry_tols, compact_min=compact_min)
         if host_loop:
             key = ("rec", evolT, tenvs is not None,
                    max_steps_per_interval, n_refine)

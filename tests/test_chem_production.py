@@ -83,11 +83,20 @@ def test_coupled_production_1e6yr(network):
     touts = jnp.asarray(bdfmod.log_output_times(1e-8, 1e6, 2.0))
     T0 = jnp.asarray([p["T"] for p in COUPLED_CELLS])
 
+    # the proven contract INCLUDES the per-lane tolerance-relaxation
+    # ladder — the reference's own production semantics (a cell that
+    # trips the solver is re-entered at relaxed flags from its last
+    # record, src/chemistry.f90:272-387, disk.f90:1716-1733).  The
+    # inner-rim lane hits a genuine chemical limit-cycle flicker near
+    # the H2-dissociation equilibrium at ~1378 K (h collapses to
+    # ~1e-2 yr at t~7e5 yr) and needs the ladder to punch through,
+    # exactly as the reference would.
+    retry = ode.retry_ladder(3, 1e-4, 1e-30, d2g)
     res = ode.solve_batched(
         envs, jnp.tile(jnp.asarray(y0), (B, 1)), T0, touts,
         jnp.tile(rtol, (B, 1)), jnp.tile(atol, (B, 1)),
         first_step=1e-8, evolT=True, tenvs=tenvs, continuous=True,
-        max_steps_per_interval=500, host_loop=True)
+        max_steps_per_interval=500, host_loop=True, retry_tols=retry)
 
     fail = np.asarray(res.fail)
     t_fin = np.asarray(res.t_final)

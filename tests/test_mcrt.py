@@ -205,3 +205,40 @@ def test_mc_pass_hosted_compaction_conserves_physics():
     # same seed, different lane->rng assignment after compaction:
     # statistically identical (MC noise ~ 1/sqrt(B))
     np.testing.assert_allclose(en_b, en_a, rtol=0.1)
+
+
+def test_mc_pass_streamed_refill_conserves_physics():
+    """The constant-width streamed pass (batch topped up from the packet
+    pool as lanes terminate, round-5 pass-level rebuild) must account
+    for every pool packet exactly once and deposit statistically
+    identical energy to the plain full-width pass."""
+    model, tab, rho = _uniform_sphere_model(tau_half=20.0)
+    N = 4096
+    lam = np.full(N, 3.0e5)
+    en = np.ones(N)
+    key = jax.random.PRNGKey(7)
+
+    pk0 = mcrt.launch_packets(model, key, jnp.asarray(lam),
+                              jnp.asarray(en), 0.0, 1.0)
+    tall0 = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
+    pk_a, tl_a = mcrt.mc_pass(model, key, pk0, tall0, use_mrw=True,
+                              max_steps=40_000)
+
+    tall1 = mcrt.McTallies.zeros(1, len(tab.lam), 1, 5)
+    refills = []
+    _, tl_b, fates = mcrt.mc_pass_streamed(
+        model, key, lam, en, 0.0, 1.0, tall1, max_batch=512,
+        steps_per_call=64, max_steps=40_000, use_mrw=True,
+        compact_floor=64,
+        progress_cb=lambda done, act, left: refills.append(left))
+
+    # the pool actually drained through multiple top-ups
+    assert refills[0] > 0 and refills[-1] == 0
+    # every pool packet accounted for exactly once
+    assert sum(fates.values()) == N
+    assert fates["active"] == 0
+    en_a = float(np.asarray(tl_a.en_gain).sum())
+    en_b = float(np.asarray(tl_b.en_gain).sum())
+    assert en_a > 0
+    np.testing.assert_allclose(en_b, en_a, rtol=0.1)
+    assert np.isfinite(np.asarray(tl_b.flux)).all()
