@@ -94,6 +94,28 @@ def write_cube_fits(path, cube, freqs=None, tau_map=None, int_map=None,
         f.write(buf)
 
 
+def _card_value(body):
+    """Card value with the trailing /comment stripped.  Quoted string
+    values may themselves contain '/' (e.g. a QNUM like 'F=1/2-3/2'), so
+    for those the comment separator is only looked for AFTER the closing
+    quote (ADVICE r4)."""
+    body = body.rstrip()
+    st = body.lstrip()
+    if st.startswith("'"):
+        # FITS escapes ' inside strings as ''
+        i = 1
+        while i < len(st):
+            j = st.find("'", i)
+            if j < 0:
+                return st.strip()
+            if st[j + 1:j + 2] == "'":
+                i = j + 2
+                continue
+            return st[:j + 1].strip()
+        return st.strip()
+    return body.split("/")[0].strip()
+
+
 def read_fits_image(path):
     """Tiny reader for round-tripping our own files (tests)."""
     with open(path, "rb") as f:
@@ -115,8 +137,7 @@ def read_fits_image(path):
     for cd in cards:
         if "=" in cd:
             k = cd[:8].strip()
-            v = cd[10:].split("/")[0].strip()
-            hdrs[k] = v
+            hdrs[k] = _card_value(cd[10:])
     naxis = int(hdrs["NAXIS"])
     shape = tuple(int(hdrs[f"NAXIS{i + 1}"]) for i in range(naxis))[::-1]
     n = int(np.prod(shape))
@@ -142,7 +163,7 @@ def _parse_hdu(raw, pos):
                 end = True
                 break
             if "=" in card:
-                hdrs[card[:8].strip()] = card[10:].split("/")[0].strip()
+                hdrs[card[:8].strip()] = _card_value(card[10:])
     naxis = int(hdrs.get("NAXIS", 0))
     shape = tuple(int(hdrs[f"NAXIS{i + 1}"])
                   for i in range(naxis))[::-1]

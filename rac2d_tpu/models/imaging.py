@@ -235,7 +235,13 @@ class LineImaging:
                         "INTFLUXL": float(np.sum(spec - base)
                                           * jansky2SI * df),
                         "THETA": float(theta),
-                        "DIST": cfg.dist_pc})
+                        "DIST": cfg.dist_pc,
+                        # pixel solid angle: lets SpecLine rebuild the
+                        # flux spectrum from the cube if the FLUXSPEC
+                        # extension is ever absent
+                        "PIXSR": float(pix_sr),
+                        "CDELT1": float(xs[1] - xs[0]),
+                        "CDELT2": float(ys[1] - ys[0])})
         return I, tau, Nu, Nl, spec
 
 
@@ -270,5 +276,8 @@ def make_continuum_cube(disk, lam_A, theta, nx=201, ny=201,
         fitsio.write_cube_fits(out_fits, I, freqs=freqs, tau_map=tau,
                                spectrum=spec,
                                header={"THETA": float(theta),
-                                       "DIST": dist_pc})
+                                       "DIST": dist_pc,
+                                       "PIXSR": float(pix_sr),
+                                       "CDELT1": float(xs[1] - xs[0]),
+                                       "CDELT2": float(ys[1] - ys[0])})
     return I, tau, spec

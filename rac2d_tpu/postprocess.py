@@ -277,6 +277,22 @@ class SpecLine:
         from .io.fits import read_fits_extension
         spec = read_fits_extension(path, "FLUXSPEC")
         self.spec = None if spec is None else np.asarray(spec, float)
+        if self.spec is None:
+            # rebuild from the cube: needs the pixel solid angle, either
+            # recorded directly (PIXSR) or derivable from DIST + the
+            # spatial pixel scale (CDELT1/2, AU)
+            pix_sr = hdr.get("PIXSR")
+            if pix_sr is not None:
+                pix_sr = float(pix_sr)
+            elif self.dist and hdr.get("CDELT1") and hdr.get("CDELT2"):
+                AU2cm, pc2cm = 1.495978707e13, 3.0856775814913674e18
+                pix_sr = (abs(float(hdr["CDELT1"]))
+                          * abs(float(hdr["CDELT2"])) * AU2cm ** 2
+                          / (self.dist * pc2cm) ** 2)
+            if pix_sr is not None:
+                jansky2CGS = 1e-23
+                self.spec = (self.cube.sum(axis=(0, 1)) * pix_sr
+                             / jansky2CGS)
 
     def integrated_flux(self, remove_baseline=True):
         """Integral of the flux spectrum in W/m^2 (reference
@@ -410,13 +426,24 @@ def write_radmc_inp(path, arr):
 # species-name group selectors (reference misc.py:201-238)
 # ----------------------------------------------------------------------
 
+_ELEM_RE = None
+
+
 def _counts(name):
+    """Element counts of a species name via a proper tokenizer: ONE
+    alternation ordered two-letter symbols first, so 'He' is never
+    counted as H, 'Cl' never as C, 'Ne' never as N (ADVICE r4: the old
+    per-element findall double-counted every overlapping symbol)."""
     import re
+    global _ELEM_RE
+    if _ELEM_RE is None:
+        _ELEM_RE = re.compile(
+            r"(He|Ne|Si|Na|Mg|Fe|Cl|H|C|N|O|S|F|P)(\d*)")
     body = name.lstrip("g").rstrip("+-")
-    return {el: sum(int(k) if k else 1 for _, k in
-                    re.findall(r"(%s)(\d*)" % el, body))
-            for el in ("H", "C", "N", "O", "S", "Si", "F", "P",
-                       "Na", "Mg", "Fe", "Cl", "He")}
+    out = {}
+    for el, k in _ELEM_RE.findall(body):
+        out[el] = out.get(el, 0) + (int(k) if k else 1)
+    return out
 
 
 def hydrocarbons(names):
@@ -432,7 +459,7 @@ def hydrocarbons(names):
 
 
 def nitrogen_bearing(names):
-    """Species containing N (not Na/Ni...) (misc.py:215-222)."""
-    import re
-    return [nm for nm in names
-            if re.search(r"N(?![ai])", nm.lstrip("g"))]
+    """Species containing elemental N — tokenized, so Na/Ne/Ni species
+    are excluded (misc.py:215-222; ADVICE r4: the lookahead regex
+    false-positived on neon)."""
+    return [nm for nm in names if _counts(nm).get("N", 0) > 0]

@@ -174,3 +174,42 @@ def test_to_spherical_and_groups(tmp_path):
     assert set(hc) == {"C2H2", "CH4", "gC3H2+"}
     nb = pp.nitrogen_bearing(names)
     assert "HCN" in nb and "NH3" in nb and "Na" not in nb
+
+
+def test_specline_rebuild_without_fluxspec(tmp_path):
+    """A cube written WITHOUT the FLUXSPEC extension must still yield a
+    flux spectrum when the pixel solid angle is recoverable (PIXSR card,
+    ADVICE r4), and quoted header values containing '/' must survive
+    the comment-separator parsing."""
+    from rac2d_tpu import postprocess as pp
+    from rac2d_tpu.io import fits as fitsio
+    nf, ny, nx = 8, 3, 3
+    f0 = 345.796e9
+    df = 1e5
+    freqs = f0 + (np.arange(nf) - nf / 2) * df
+    cube = np.random.default_rng(2).random((nx, ny, nf))
+    pix_sr = 2.5e-13
+    hdr = {"EXTNAME": "LineCube", "F0": f0, "QNUM": "F=1/2-3/2",
+           "MOL-DB": "OH", "THETA": 45.0, "DIST": 100.0,
+           "PIXSR": pix_sr}
+    p = tmp_path / "line_nospec.fits"
+    fitsio.write_cube_fits(p, cube, freqs=freqs, header=hdr)
+    sl = pp.SpecLine(p)
+    assert sl.qnum == "F=1/2-3/2"          # '/' inside quotes preserved
+    expect = cube.sum(axis=(0, 1)) * pix_sr / 1e-23
+    np.testing.assert_allclose(sl.spec, expect, rtol=1e-10)
+
+
+def test_element_tokenizer_groups():
+    """_counts / nitrogen_bearing must tokenize two-letter symbols
+    first: Ne/Na species are not nitrogen, He is not hydrogen, Cl is
+    not carbon (ADVICE r4)."""
+    from rac2d_tpu import postprocess as pp
+    assert pp._counts("HNe+") == {"H": 1, "Ne": 1}
+    assert pp._counts("HC3N") == {"H": 1, "C": 3, "N": 1}
+    assert pp._counts("He") == {"He": 1}
+    assert pp._counts("Cl2") == {"Cl": 2}
+    assert pp._counts("NaCl") == {"Na": 1, "Cl": 1}
+    names = ["HNe+", "Ne", "NH3", "N2H+", "NaH", "CN", "HCN", "CO"]
+    nb = pp.nitrogen_bearing(names)
+    assert set(nb) == {"NH3", "N2H+", "CN", "HCN"}
