@@ -112,18 +112,53 @@ def _analytic_T(d, tau_radial):
 @pytest.mark.slow
 def test_thick_envelope_matches_gray_diffusion():
     """tau_radial = 20 with MRW: interior cells (tau-from-surface >= 4)
-    must match the diffusion T(r) to 10% in the median, 15% everywhere."""
+    must match the diffusion T(r) to 5% in the median, 15% everywhere,
+    AND reproduce the diffusion slope dT^4/d(1/r) to 12% (VERDICT r4
+    weak #6: pointwise 10% tolerances could hide an MRW deposit drift;
+    the slope pins the transported FLUX directly)."""
     tau = 20.0
     model, cells, tab, d_mid, rho0 = _envelope(tau)
-    Td = _lucy_iterate(model, cells, tab, nph=30_000, use_mrw=True)
+    Td = _lucy_iterate(model, cells, tab, nph=100_000, use_mrw=True)
     tau_out = KAB * rho0 * (R_OUT - d_mid) * c.AU2cm
     sel = (tau_out >= 4.0) & (d_mid > 1.4 * R_IN) & (d_mid < 0.85 * R_OUT)
     assert sel.sum() >= 20
     T_ana = _analytic_T(d_mid[sel], tau)
     rel = np.abs(Td[sel] - T_ana) / T_ana
-    assert np.median(rel) < 0.10, (
+    assert np.median(rel) < 0.05, (
         f"median dev {np.median(rel):.3f}; worst {rel.max():.3f}")
-    assert rel.max() < 0.20, f"worst dev {rel.max():.3f}"
+    assert rel.max() < 0.15, f"worst dev {rel.max():.3f}"
+    # slope of T^4 against 1/r: the diffusion solution is linear with
+    # slope 3 kappa rho L / (16 pi sigma)
+    star_L = (4.0 * np.pi * c.Rsun_CGS ** 2 * c.StefanBoltzmann_CGS
+              * 6000.0 ** 4)
+    slope_ana = (3.0 * KAB * rho0 * star_L
+                 / (16.0 * np.pi * c.StefanBoltzmann_CGS))
+    x = 1.0 / (d_mid[sel] * c.AU2cm)
+    y = Td[sel] ** 4
+    slope_fit = np.polyfit(x, y, 1)[0]
+    assert abs(slope_fit / slope_ana - 1.0) < 0.12, (
+        f"T^4(1/r) slope off by {slope_fit / slope_ana - 1.0:+.3f}")
+
+
+@pytest.mark.slow
+def test_extreme_depth_mrw_envelope():
+    """tau_radial = 200: ~10 optical depths PER CELL — the walk is pure
+    MRW diffusion almost everywhere (VERDICT r4 weak #6: pin the MRW
+    deposits at extreme depth, where the plain walk cannot even run).
+    Interior T must track the same gray-diffusion solution."""
+    tau = 200.0
+    model, cells, tab, d_mid, rho0 = _envelope(tau, nr=14, nz=14)
+    Td = _lucy_iterate(model, cells, tab, nph=30_000, use_mrw=True,
+                       n_pass=16)
+    tau_out = KAB * rho0 * (R_OUT - d_mid) * c.AU2cm
+    sel = (tau_out >= 30.0) & (d_mid > 1.4 * R_IN) \
+        & (d_mid < 0.8 * R_OUT)
+    assert sel.sum() >= 10
+    T_ana = _analytic_T(d_mid[sel], tau)
+    rel = np.abs(Td[sel] - T_ana) / T_ana
+    assert np.median(rel) < 0.12, (
+        f"median dev {np.median(rel):.3f}; worst {rel.max():.3f}")
+    assert rel.max() < 0.25, f"worst dev {rel.max():.3f}"
 
 
 @pytest.mark.slow

@@ -20,6 +20,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
+_LOG = open(os.environ.get("R5_LOG", "/tmp/measure_r5.log"), "a", 1)
+
+
+def say(*a):
+    msg = " ".join(str(x) for x in a)
+    print(msg, flush=True)
+    _LOG.write(msg + "\n")
+
 
 def chem_prod(B=128, compact_min=16, ladder=3, t_max=1e6):
     from rac2d_tpu import defaults
@@ -28,7 +36,7 @@ def chem_prod(B=128, compact_min=16, ladder=3, t_max=1e6):
     from rac2d_tpu.ops import odesys, thermal
     from rac2d_tpu.ops.rates import CellEnv
 
-    print("backend:", jax.default_backend(), flush=True)
+    say("backend:", jax.default_backend(), "argv:", sys.argv)
     net = umist.load_network(defaults.NETWORK,
                              enthalpy_path=defaults.ENTHALPIES)
     y0 = umist.load_initial_abundances(net, defaults.INIT_ABUNDANCES)
@@ -73,10 +81,10 @@ def chem_prod(B=128, compact_min=16, ladder=3, t_max=1e6):
         f = np.asarray(st.fail)
         W = len(t)
         t_hist.append((time.time(), W, float(np.median(t)), int(f.sum())))
-        if k % 10 == 0:
-            print(f"  call {k}: W={W} t_med={np.median(t):.3e} "
-                  f"t_min={t.min():.3e} fails={f.sum()} "
-                  f"[{time.time()-t0:.0f}s]", flush=True)
+        if k % 5 == 0:
+            say(f"  call {k}: W={W} t_med={np.median(t):.3e} "
+                f"t_min={t.min():.3e} fails={f.sum()} "
+                f"[{time.time()-t0:.0f}s]")
 
     kw = dict(first_step=1e-8, evolT=True, tenvs=tenvs, continuous=True,
               max_steps_per_interval=500, host_loop=True, n_refine=0,
@@ -87,7 +95,7 @@ def chem_prod(B=128, compact_min=16, ladder=3, t_max=1e6):
     res = ode.solve_batched(envs, y0b, T0b, touts, rtol_b, atol_b,
                             max_wall_s=1.0, **kw)
     jax.block_until_ready(res.t_final)
-    print(f"warmup {time.time()-t0:.1f}s", flush=True)
+    say(f"warmup {time.time()-t0:.1f}s")
 
     t_hist.clear()
     t0 = time.time()
@@ -108,31 +116,32 @@ def chem_prod(B=128, compact_min=16, ladder=3, t_max=1e6):
                retry_levels=np.bincount(lvl.astype(int),
                                         minlength=4).tolist(),
                vs_serial_anchor=round(B * 134.0 / wall, 2))
-    print(json.dumps(out), flush=True)
+    say(json.dumps(out))
 
 
 def mc(nph=4_000_000):
     sys.path.insert(0, "/root/repo")
     import bench as benchmod
-    print("backend:", jax.default_backend(), flush=True)
+    say("backend:", jax.default_backend(), "argv:", sys.argv)
     t0 = time.time()
     m = benchmod.build_bench_model(nph=100_000)
-    print(f"build {time.time()-t0:.1f}s", flush=True)
+    say(f"build {time.time()-t0:.1f}s")
     t0 = time.time()
     m.run_mc(n_passes=1, seed=0)       # warmup Lucy pass (compile)
-    print(f"lucy warmup pass {time.time()-t0:.1f}s", flush=True)
+    say(f"lucy warmup pass {time.time()-t0:.1f}s")
     t0 = time.time()
     m.run_mc(n_passes=1, nph=nph, seed=7)
     dt = time.time() - t0
-    print(json.dumps(dict(nph=nph, wall_s=round(dt, 1),
-                          packets_per_s=round(nph / dt, 1))), flush=True)
+    say(json.dumps(dict(nph=nph, wall_s=round(dt, 1),
+                        packets_per_s=round(nph / dt, 1))))
 
 
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "chem_prod":
         B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-        chem_prod(B=B)
+        cm = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+        chem_prod(B=B, compact_min=cm)
     else:
         nph = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
         mc(nph=nph)
