@@ -348,7 +348,7 @@ class _WalkSetup:
          donate_argnums=(2, 3))
 def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
              max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
-             nmax_encounter: int = 50_000, use_mrw: bool = True,
+             nmax_encounter: int = 200_000, use_mrw: bool = True,
              mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4,
              finalize: bool = True, save_dir: bool = False,
              save_counts: bool = True):
@@ -638,11 +638,11 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         new_status = jnp.where(active & destro, ST_DESTRUCTED, pk.status)
         new_status = jnp.where(active & destro_water, ST_DESTR_WATER,
                                new_status)
-        new_status = jnp.where(stuck, ST_PREMATURE, new_status)
         # encounter-count cap: give up on packets random-walking forever in
         # ultra-thick cells (reference nmax_encounter, montecarlo.f90:690-693)
-        e_count = pk.e_count + enc.astype(pk.e_count.dtype)
-        new_status = jnp.where(active & (e_count >= nmax_encounter),
+        e_count = pk.e_count + (enc | stuck).astype(pk.e_count.dtype)
+        new_status = jnp.where((active | stuck)
+                               & (e_count >= nmax_encounter),
                                ST_PREMATURE, new_status)
 
         # --- non-encounter: cross into next cell or escape ---
@@ -650,15 +650,38 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
         # all three candidate zc rows per slot measured SLOWER — wide
         # rows pay per element: [16k,564] 21.8 ns/lane vs
         # [16k,3]+[200,187] 9.1 ns/lane)
+        # stuck lanes (exit solver missed the cell — a stale cell index
+        # from f32 position roundoff) RELOCATE from their current
+        # position through the same gather and stay alive instead of
+        # dying premature: at tau/cell ~ 10 the ~1e-5 per-event miss
+        # rate otherwise kills ~14% of deep packets and starves the
+        # interior (measured round 5, tools diag_tau200).  Counting the
+        # relocation as an encounter (above) bounds pathological loops
+        # by the nmax_encounter cap.
         crossed = active & ~enc
-        rsq_new = nx * nx + ny * ny
+        rsq_new = jnp.where(stuck, pk.x * pk.x + pk.y * pk.y,
+                            nx * nx + ny * ny)
+        z_q = jnp.where(stuck, pk.z, nz)
         if "locate" in _disable:
             new_cell_loc = pk.cell
         else:
-            new_cell_loc = geometry.locate(gi, rsq_new, jnp.abs(nz))
-        escaped = crossed & (new_cell_loc < 0)
+            new_cell_loc = geometry.locate(gi, rsq_new, jnp.abs(z_q))
+        escaped = (crossed | stuck) & (new_cell_loc < 0)
         new_status = jnp.where(escaped, ST_ESCAPED, new_status)
-        new_cell = jnp.where(crossed, jnp.maximum(new_cell_loc, 0), pk.cell)
+        new_cell = jnp.where(crossed | stuck,
+                             jnp.maximum(new_cell_loc, 0), pk.cell)
+        # repeat-stuck case: locate agrees with the current cell but the
+        # exit solver sees the position (epsilon-)outside it — pull the
+        # packet a relative 2e-6 inside the cell bounds so the next
+        # attempt starts from a strict interior point
+        stuck_same = stuck & (new_cell_loc == pk.cell)
+        rc = jnp.sqrt(rsq_new)
+        r_t = jnp.clip(rc, rmin * (1.0 + 2e-6), rmax * (1.0 - 2e-6))
+        s_r = jnp.where(stuck_same,
+                        r_t / jnp.maximum(rc, jnp.asarray(1e-30, F)), 1.0)
+        dz6 = 2e-6 * (zmax - zmin)
+        z_t = jnp.sign(pk.z) * jnp.clip(jnp.abs(pk.z), zmin + dz6,
+                                        zmax - dz6)
 
         # new tau on encounter
         new_tau = jnp.where(enc, -jnp.log(u_tau), pk.tau - tau_this)
@@ -702,9 +725,12 @@ def _mc_walk(model: McModel, key, packets: Packets, tallies: McTallies,
             return out
 
         pk2 = pk._replace(
-            x=sel(xm if use_mrw else 0, active, nx, pk.x),
-            y=sel(ym if use_mrw else 0, active, ny, pk.y),
-            z=sel(zm if use_mrw else 0, active, nz, pk.z),
+            x=jnp.where(stuck_same, pk.x * s_r,
+                        sel(xm if use_mrw else 0, active, nx, pk.x)),
+            y=jnp.where(stuck_same, pk.y * s_r,
+                        sel(ym if use_mrw else 0, active, ny, pk.y)),
+            z=jnp.where(stuck_same, z_t,
+                        sel(zm if use_mrw else 0, active, nz, pk.z)),
             vx=sel(mx if use_mrw else 0, enc, nvx, pk.vx),
             vy=sel(my if use_mrw else 0, enc, nvy, pk.vy),
             vz=sel(mz if use_mrw else 0, enc, nvz, pk.vz),
@@ -991,7 +1017,7 @@ def _mc_mrw_finalize(model: McModel, tallies: McTallies,
 
 def mc_pass(model: McModel, key, packets: Packets, tallies: McTallies,
             max_steps: int = 100_000, n_quantile: int = 512, n_mu: int = 5,
-            nmax_encounter: int = 50_000, use_mrw: bool = True,
+            nmax_encounter: int = 200_000, use_mrw: bool = True,
             mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4,
             save_dir: bool = False, save_counts: bool = True,
             steps_per_call: int = 64):
@@ -1044,7 +1070,7 @@ def packet_fates(status) -> dict:
 def mc_pass_hosted(model: McModel, key, packets: Packets,
                    tallies: McTallies, steps_per_call: int = 64,
                    max_steps: int = 100_000, n_quantile: int = 512,
-                   n_mu: int = 5, nmax_encounter: int = 50_000,
+                   n_mu: int = 5, nmax_encounter: int = 200_000,
                    use_mrw: bool = True, mrw_gamma: float = 4.0,
                    mrw_lam_min: float = 1e4, progress_cb=None,
                    compact: bool = False, compact_floor: int = 1024,
@@ -1150,7 +1176,7 @@ def mc_pass_streamed(model: McModel, key, lam_all, en_all, minw, maxw,
                      tallies: McTallies, max_batch: int,
                      steps_per_call: int = 64, max_steps: int = 100_000,
                      n_quantile: int = 512, n_mu: int = 5,
-                     nmax_encounter: int = 50_000, use_mrw: bool = True,
+                     nmax_encounter: int = 200_000, use_mrw: bool = True,
                      mrw_gamma: float = 4.0, mrw_lam_min: float = 1e4,
                      progress_cb=None, compact_floor: int = 1024,
                      save_dir: bool = False, save_counts: bool = True):

@@ -34,7 +34,7 @@ class McConfig:
     refine_LyA: float = 0.1
     refine_Xray: float = 1e-3
     nmax_cross: int = 2_000_000
-    nmax_encounter: int = 100_000
+    nmax_encounter: int = 200_000
     minw: float = 0.0        # min w (= sin of latitude) of emission cone
     maxw: float = 1.0
     ph_init_symmetric: bool = True
