@@ -121,10 +121,18 @@ def chem_prod(B=128, compact_min=16, ladder=3, t_max=1e6):
 
 def mc(nph=4_000_000):
     sys.path.insert(0, "/root/repo")
+    import dataclasses
     import bench as benchmod
     say("backend:", jax.default_backend(), "argv:", sys.argv)
     t0 = time.time()
     m = benchmod.build_bench_model(nph=100_000)
+    mb = int(os.environ.get("R5_MAXB", 0))
+    spc = int(os.environ.get("R5_SPC", 0))
+    if mb or spc:
+        m.mc_cfg = dataclasses.replace(
+            m.mc_cfg, **({"max_batch": mb} if mb else {}),
+            **({"steps_per_call": spc} if spc else {}))
+        say("knobs:", m.mc_cfg.max_batch, m.mc_cfg.steps_per_call)
     say(f"build {time.time()-t0:.1f}s")
     t0 = time.time()
     m.run_mc(n_passes=1, seed=0)       # warmup Lucy pass (compile)
