@@ -131,7 +131,7 @@ def load_config(path: str) -> driver.DiskConfig:
               "minimum_Tdust", "dust_depletion",
               "do_vertical_with_Tdust", "n_vert_iter_tdust",
               "do_vertical_every", "disk_gas_mass_preset", "vertical_moving",
-              "calc_zetaXray_from_Ncol", "shard_chemistry",
+              "calc_zetaXray_from_Ncol", "shard_chemistry", "chem_stream",
               "do_refine", "do_merge", "refine_watch_species",
               "refine_watch_file", "refine_threshold", "merge_tol"):
         if k in it:

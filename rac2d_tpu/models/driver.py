@@ -83,6 +83,12 @@ class DiskConfig:
     # (reference max_runtime_allowed was 60 s per CELL time-step — here
     # one chunk solves the whole batch, so the budget is per chunk)
     chunk_wall_s: float = 0.0
+    # pool-refill chemistry sweep (single-device path): the whole active
+    # cell list streams through ONE constant-width window with per-lane
+    # ladder retries — finished lanes retire and refill immediately, so
+    # no chunk waits on its slowest lane (round 5; the sharded
+    # multi-device path keeps the chunked sweep)
+    chem_stream: bool = True
     # MC control
     mc: optics.McConfig = None
     n_mc_passes: int = 3
@@ -751,6 +757,74 @@ class DiskModel:
         return ok, int(np.asarray(res.n_steps)[:n_real].sum())
 
     # ------------------------------------------------------------------
+    def _pool_sweep(self, act, touts):
+        """Stream ALL active cells through one constant-width solver
+        window (odesys.solve_pool): finished lanes retire and refill
+        from the pool, the per-lane tolerance ladder replaces the
+        chunk-level re-solve ladder.  Returns the indices of cells that
+        failed every ladder level."""
+        cfg = self.cfg
+        nS = self.net.n_species
+        t_env0 = time.time()
+        env, tenv = self.assemble_envs(act)
+        self._t_envs = getattr(self, "_t_envs", 0.0) \
+            + (time.time() - t_env0)
+        y0b = jnp.asarray(self.X[:, act].T)
+        T0b = jnp.asarray(self.Tgas[act])
+        d2g = float(self.d2h.mean())
+        rtol, atol = odesys.tolerance_ladder(
+            self.net, 1, cfg.rtol_chem, cfg.atol_chem, d2g)
+        retry = self.ode.retry_ladder(
+            max(cfg.nlocal_iter - 1, 0), cfg.rtol_chem, cfg.atol_chem,
+            d2g) or None
+        W = min(cfg.chem_chunk, len(act))
+        n_chunks = -(-len(act) // W)
+        wall = (cfg.chunk_wall_s * n_chunks * cfg.nlocal_iter) or None
+        t0 = time.time()
+        res = self.ode.solve_pool(
+            env, y0b, T0b, touts, rtol, atol, width=W,
+            first_step=cfg.dt_first, evolT=cfg.evolT, tenvs=tenv,
+            max_steps_per_interval=cfg.max_steps_per_interval,
+            retry_tols=retry, max_wall_s=wall,
+            progress_cb=lambda k, st: (
+                self.say(f"      ...pool call {k}")
+                if k and k % 32 == 0 else None))
+        ok = ~np.asarray(res.fail)
+        yf = np.asarray(res.ys[:, -1, :])
+        self.X[:, act[ok]] = yf[ok, :nS].T
+        if cfg.evolT:
+            self.Tgas[act[ok]] = yf[ok, nS]
+        else:
+            # equilibrium-temperature update by bracketed bisection, in
+            # fixed-width padded chunks (one compiled shape)
+            for lo in range(0, len(act), W):
+                idx = act[lo:lo + W]
+                n_real = len(idx)
+                if n_real < W:
+                    idx = np.concatenate(
+                        [idx, np.repeat(idx[-1:], W - n_real)])
+                yb_full = jnp.asarray(np.concatenate(
+                    [np.asarray(self.X[:, idx].T),
+                     self.Tgas[idx][:, None]], axis=1))
+                env_r, tenv_r = self.assemble_envs(idx)
+                Teq, brk = jax.vmap(
+                    lambda y, e, te, T00: self.thermal.solve_equilibrium_T(
+                        y, e, te, T00, self.ode.tab))(
+                    yb_full, env_r, tenv_r,
+                    jnp.asarray(np.maximum(self.Tgas[idx], 2.0)))
+                brk_m = np.asarray(brk)[:n_real] & ok[lo:lo + n_real]
+                self.Tgas[idx[:n_real][brk_m]] = \
+                    np.asarray(Teq)[:n_real][brk_m]
+        lvl = np.asarray(res.retry_level) if res.retry_level is not None \
+            else np.zeros(len(act))
+        self.say(f"    pool sweep: {len(act)} cells, width {W}, "
+                 f"{int(np.asarray(res.n_steps).sum())} steps, "
+                 f"{int((~ok).sum())} failed, "
+                 f"ladder levels {np.bincount(lvl.astype(int), minlength=4).tolist()}, "
+                 f"{time.time() - t0:.1f}s")
+        return act[~ok]
+
+    # ------------------------------------------------------------------
     def chemistry_step(self, iiter=1):
         """One full-disk chemistry(+T) sweep, batched over cells.
 
@@ -780,6 +854,34 @@ class DiskModel:
         # into retry batches at relaxed tolerances (the reference relaxes
         # only the failing cell, chemistry.f90:272-387 — round 1 re-solved
         # whole chunks, discarding converged lanes' work)
+        use_shard = cfg.shard_chemistry and jax.device_count() > 1
+        if cfg.chem_stream and not use_shard and len(act):
+            # pool-refill streaming sweep (in-lane ladder; single
+            # compiled window shape)
+            pending = self._pool_sweep(act, touts)
+        else:
+            pending = self._chunked_sweep(act, touts)
+        self.quality[pending] += 512
+        if len(pending):
+            self.say(f"  {len(pending)} cells failed all "
+                     f"{cfg.nlocal_iter} tolerance levels (quality +512)")
+        # convergence bookkeeping on the 10 key species (reference
+        # check_convergency_cell, disk.f90:1901-1915)
+        ki = self.net.key_species_idx
+        d = np.abs(self.X[ki][:, act] - abun_prev[ki][:, act])
+        tol = cfg.atol_abun + cfg.rtol_abun * np.abs(
+            self.X[ki][:, act] + abun_prev[ki][:, act])
+        self.converged_cells = (d <= tol).all(axis=0)
+        frac = self.converged_cells.mean() if len(act) else 1.0
+        self.say(f"  converged cells: {self.converged_cells.sum()}"
+                 f"/{len(act)} ({frac * 100:.1f}%)")
+        return frac
+
+    # ------------------------------------------------------------------
+    def _chunked_sweep(self, act, touts):
+        """Chunked sweep with chunk-level tolerance ladder (the sharded
+        multi-device path; also the fallback when chem_stream=False)."""
+        cfg = self.cfg
         pending = act
         n_done = 0
         for level in range(1, cfg.nlocal_iter + 1):
@@ -808,21 +910,7 @@ class DiskModel:
                          f"done {n_done}/{len(act)}")
             pending = np.concatenate(failed) if failed else \
                 np.array([], dtype=np.int64)
-        self.quality[pending] += 512
-        if len(pending):
-            self.say(f"  {len(pending)} cells failed all "
-                     f"{cfg.nlocal_iter} tolerance levels (quality +512)")
-        # convergence bookkeeping on the 10 key species (reference
-        # check_convergency_cell, disk.f90:1901-1915)
-        ki = self.net.key_species_idx
-        d = np.abs(self.X[ki][:, act] - abun_prev[ki][:, act])
-        tol = cfg.atol_abun + cfg.rtol_abun * np.abs(
-            self.X[ki][:, act] + abun_prev[ki][:, act])
-        self.converged_cells = (d <= tol).all(axis=0)
-        frac = self.converged_cells.mean() if len(act) else 1.0
-        self.say(f"  converged cells: {self.converged_cells.sum()}"
-                 f"/{len(act)} ({frac * 100:.1f}%)")
-        return frac
+        return pending
 
     # ------------------------------------------------------------------
     def run(self, n_iter=None, save_dir=None):

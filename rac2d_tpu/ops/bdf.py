@@ -1263,6 +1263,189 @@ def bdf_solve_batch_cont(f_b: Callable, jac_b: Callable, y0, t0, touts,
                      retry_level=jnp.asarray(res_full["level"]))
 
 
+def bdf_solve_batch_pool(f_b: Callable, jac_b: Callable, y0_pool, t0,
+                         touts, rtol_pool, atol_pool, first_step,
+                         width: int,
+                         max_steps_per_interval: int = 2000,
+                         sanity_b: Callable | None = None,
+                         n_refine: int = 1,
+                         max_wall_s: float | None = None,
+                         progress_cb: Callable | None = None,
+                         args_pool=None, advance_fn=None,
+                         rounds_per_call: int = 256,
+                         retry_tols=None) -> BDFResult:
+    """Pool-refill batch solve: integrate N >> width lanes through a
+    CONSTANT-width window.  Finished/exhausted lanes retire (final
+    state flushed to host buffers) and their slots are immediately
+    refilled with the next pool entries — the chemistry analogue of the
+    MC streamed pass (mc_pass_streamed): occupancy stays high for the
+    whole sweep and there is exactly ONE compiled advance shape (on
+    this image each extra shape pays a multi-minute compile — see
+    ROOFLINE round 5).  The per-lane tolerance ladder (retry_tols)
+    applies per lane, as in bdf_solve_batch_cont.
+
+    Returns a BDFResult over the FULL pool with ts/ys carrying ONLY the
+    final record per lane (shape [N, 1, NEQ]) — trajectory records stay
+    window-resident; this entry point exists for sweep drivers that
+    consume final states (models/driver.chemistry_step).
+    """
+    import time as _time
+
+    y0_pool = jnp.asarray(y0_pool, dtype=jnp.float64)
+    N, NEQ = y0_pool.shape
+    W = min(width, N)
+    touts_j = jnp.asarray(touts, dtype=jnp.float64)
+    n_out = touts_j.shape[0]
+    t_bound = touts_j[-1]
+    rtol_pool = jnp.asarray(rtol_pool)
+    atol_pool = jnp.asarray(atol_pool)
+    n_levels = len(retry_tols) if retry_tols else 0
+
+    take = jnp.arange(W)
+    state = _batch_init(f_b, y0_pool[take], t0, first_step,
+                        jax.tree.map(lambda a: a[take], args_pool)
+                        if args_pool is not None else None)
+    cst = ContState(
+        st=state, irec=jnp.zeros(W, jnp.int32),
+        since=jnp.zeros(W, jnp.int32),
+        ts=jnp.zeros((W, n_out)), ys=jnp.zeros((W, n_out, NEQ)))
+    args_cur = jax.tree.map(lambda a: a[take], args_pool) \
+        if args_pool is not None else None
+    rtol_cur = rtol_pool[take]
+    atol_cur = atol_pool[take]
+    y0_cur = y0_pool[take]
+    orig = np.arange(W)
+    level = np.zeros(W, np.int32)
+    next_i = W
+
+    res = dict(ts=np.zeros(N), ys=np.zeros((N, NEQ)),
+               t_final=np.zeros(N), fail=np.ones(N, bool),
+               n_steps=np.zeros(N, np.int64), n_feval=np.zeros(N, np.int64),
+               n_jeval=np.zeros(N, np.int64), n_lu=np.zeros(N, np.int64),
+               level=np.zeros(N, np.int32))
+
+    advance = advance_fn if advance_fn is not None else make_advance_jit(
+        f_b, jac_b, max_steps_per_interval, sanity_b, n_refine)
+
+    def flush(slots):
+        """Write finished window slots' final states to the pool
+        buffers."""
+        if not len(slots):
+            return
+        w = orig[slots]
+        st = cst.st
+        ys_np = np.asarray(cst.ys)
+        irec_np = np.asarray(cst.irec)
+        last = np.clip(irec_np[slots] - 1, 0, n_out - 1)
+        res["ys"][w] = ys_np[slots, last]
+        res["ts"][w] = np.asarray(cst.ts)[slots, last]
+        res["t_final"][w] = np.asarray(st.t)[slots]
+        res["fail"][w] = np.asarray(st.fail)[slots] \
+            | (irec_np[slots] < n_out)
+        res["n_steps"][w] = np.asarray(st.n_steps)[slots]
+        res["n_feval"][w] = np.asarray(st.n_feval)[slots]
+        res["n_jeval"][w] = np.asarray(st.n_jeval)[slots]
+        res["n_lu"][w] = np.asarray(st.n_lu)[slots]
+        res["level"][w] = level[slots]
+
+    def refill(slots, pool_idx):
+        """Reset window slots to fresh pool lanes (host-side scatter;
+        shapes unchanged, so no recompile)."""
+        nonlocal cst, args_cur, rtol_cur, atol_cur, y0_cur
+        sl = jnp.asarray(slots)
+        pi = jnp.asarray(pool_idx)
+        st = cst.st
+        y_new = y0_pool[pi]
+        B_ = W
+        D = st.D.at[sl].set(0.0)
+        D = D.at[sl, 0, :].set(y_new)
+        mfalse = jnp.zeros(len(slots), bool)
+        st2 = st._replace(
+            t=st.t.at[sl].set(t0),
+            h=st.h.at[sl].set(first_step),
+            order=st.order.at[sl].set(1),
+            D=D,
+            n_equal=st.n_equal.at[sl].set(0),
+            fail=st.fail.at[sl].set(False),
+            n_steps=st.n_steps.at[sl].set(0),
+            n_feval=st.n_feval.at[sl].set(1),
+            n_jeval=st.n_jeval.at[sl].set(0),
+            n_lu=st.n_lu.at[sl].set(0),
+            jfresh=st.jfresh.at[sl].set(False),
+            need_j=st.need_j.at[sl].set(True))
+        cst = cst._replace(
+            st=st2,
+            irec=cst.irec.at[sl].set(0),
+            since=cst.since.at[sl].set(0),
+            ts=cst.ts.at[sl].set(0.0),
+            ys=cst.ys.at[sl].set(0.0))
+        if args_cur is not None:
+            args_cur = jax.tree.map(
+                lambda cur, pool: cur.at[sl].set(pool[pi]),
+                args_cur, args_pool)
+        rtol_cur = rtol_cur.at[sl].set(rtol_pool[pi])
+        atol_cur = atol_cur.at[sl].set(atol_pool[pi])
+        y0_cur = y0_cur.at[sl].set(y_new)
+
+    t_start = None
+    k = 0
+    while True:
+        cst = advance(cst, touts_j, t_bound, rtol_cur, atol_cur, args_cur,
+                      jnp.asarray(rounds_per_call))
+        jax.block_until_ready(cst.irec)
+        now = _time.time()
+        if t_start is None:
+            t_start = now
+        irec = np.asarray(cst.irec)
+        fail = np.asarray(cst.st.fail)
+        if progress_cb is not None:
+            progress_cb(k, cst.st)
+        k += 1
+        wall_hit = max_wall_s is not None and now - t_start > max_wall_s
+        retryable = fail & (level < n_levels)
+        if retryable.any() and not wall_hit:
+            level[retryable] += 1
+            for lv in np.unique(level[retryable]):
+                rows = np.nonzero(retryable & (level == lv))[0]
+                r_row, a_row = retry_tols[lv - 1]
+                rtol_cur = rtol_cur.at[rows].set(jnp.asarray(r_row))
+                atol_cur = atol_cur.at[rows].set(jnp.asarray(a_row))
+            cst = _ladder_rollback(cst, retryable, touts_j, y0_cur, t0,
+                                   first_step)
+            fail = np.asarray(cst.st.fail)
+        done = (irec >= n_out) | fail
+        if wall_hit:
+            flush(np.arange(W))
+            break
+        n_take = min(int(done.sum()), N - next_i)
+        if n_take > 0:
+            slots = np.nonzero(done)[0][:n_take]
+            flush(slots)
+            refill(slots, np.arange(next_i, next_i + n_take))
+            orig[slots] = np.arange(next_i, next_i + n_take)
+            level[slots] = 0
+            next_i += n_take
+            done = np.zeros(W, bool)
+            continue
+        if bool(done.all()):
+            flush(np.arange(W))
+            break
+    # wall-aborted: pool entries never started stay failed with y0
+    if next_i < N:
+        rest = np.arange(next_i, N)
+        res["ys"][rest] = np.asarray(y0_pool)[rest]
+    return BDFResult(
+        ts=jnp.asarray(res["ts"])[:, None],
+        ys=jnp.asarray(res["ys"])[:, None, :],
+        t_final=jnp.asarray(res["t_final"]),
+        fail=jnp.asarray(res["fail"]),
+        n_steps=jnp.asarray(res["n_steps"]),
+        n_feval=jnp.asarray(res["n_feval"]),
+        n_jeval=jnp.asarray(res["n_jeval"]),
+        n_lu=jnp.asarray(res["n_lu"]),
+        retry_level=jnp.asarray(res["level"]))
+
+
 def bdf_solve_batch_host(f_b: Callable, jac_b: Callable, y0, t0, touts,
                          rtol, atol, first_step,
                          max_steps_per_interval: int = 2000,

@@ -310,6 +310,49 @@ class ChemicalODE:
             self._solver_cache[key] = solver
         return solver(y0, 0.0, touts, rtol, atol, first_step, args=args)
 
+    def solve_pool(self, envs: CellEnv, y0_species, Tgas0, touts, rtol,
+                   atol, width: int, first_step=1e-8,
+                   evolT: bool = False, tenvs=None,
+                   max_steps_per_interval: int = 2000,
+                   n_refine: int = 1, retry_tols=None,
+                   max_wall_s: float | None = None,
+                   progress_cb=None,
+                   rounds_per_call: int = 256) -> bdfmod.BDFResult:
+        """Pool-refill sweep: N >> width lanes stream through ONE
+        constant-width window (bdf_solve_batch_pool) — finished lanes
+        retire and their slots refill from the pool, the chemistry
+        analogue of the MC streamed pass.  rtol/atol may be [NEQ] rows
+        (shared) or [N, NEQ].  Returns BDFResult over the full pool
+        with ys = final state only ([N, 1, NEQ])."""
+        f_b, jac_b, sanity_b = self._batch_fns(evolT, tenvs is not None)
+        kb = None
+        if not evolT:
+            kb = jax.jit(jax.vmap(lambda e: self._rates(e, e.Tgas)))(envs)
+        args_pool = (envs, tenvs, kb)
+        y0 = jnp.concatenate(
+            [jnp.asarray(y0_species), jnp.asarray(Tgas0)[:, None]], axis=1)
+        N = y0.shape[0]
+        rtol = jnp.asarray(rtol)
+        atol = jnp.asarray(atol)
+        if rtol.ndim == 1:
+            rtol = jnp.tile(rtol, (N, 1))
+        if atol.ndim == 1:
+            atol = jnp.tile(atol, (N, 1))
+        key = ("cont", evolT, tenvs is not None,
+               max_steps_per_interval, n_refine)
+        advance = self._solver_cache.get(key)
+        if advance is None:
+            advance = bdfmod.make_advance_jit(
+                f_b, jac_b, max_steps_per_interval, sanity_b, n_refine)
+            self._solver_cache[key] = advance
+        return bdfmod.bdf_solve_batch_pool(
+            f_b, jac_b, y0, 0.0, touts, rtol, atol, first_step,
+            width=width, max_steps_per_interval=max_steps_per_interval,
+            sanity_b=sanity_b, n_refine=n_refine, max_wall_s=max_wall_s,
+            progress_cb=progress_cb, args_pool=args_pool,
+            advance_fn=advance, rounds_per_call=rounds_per_call,
+            retry_tols=retry_tols)
+
 
 def tolerance_ladder(net: ChemNet, level: int, rtol0: float, atol0: float,
                      ratioDust2HnucNum: float):

@@ -185,3 +185,46 @@ def test_nrefine0_matches_nrefine1_and_oracle(network):
                 f"point {b} n_refine={nr} key-species worst "
                 f"{relk.max():.3f}: "
                 f"{dict(zip([network.species[i] for i in ki], relk))}")
+
+
+def test_pool_refill_matches_batch(network):
+    """The pool-refill sweep (odesys.solve_pool: N lanes streaming
+    through a constant-width window, round 5) must produce the same
+    answers as the plain batched solve — only the batch-global refresh
+    coupling differs, so key species agree to well under production
+    rtol-driven divergence."""
+    from rac2d_tpu import defaults
+    from rac2d_tpu.io import umist
+    from rac2d_tpu.ops import bdf as bdfmod
+    from rac2d_tpu.ops import odesys
+
+    pts = [POINTS[i % len(POINTS)] for i in range(6)]
+    N = len(pts)
+    y0 = umist.load_initial_abundances(network, defaults.INIT_ABUNDANCES)
+    ode = odesys.ChemicalODE(network)
+    envs = jax.tree.map(lambda *a: jnp.stack([jnp.asarray(x) for x in a]),
+                        *[_env_pairs(p)[1] for p in pts])
+    d2g = 2.8e-12
+    rtol, atol = odesys.tolerance_ladder(network, 1, 1e-4, 1e-30, d2g)
+    touts = jnp.asarray(bdfmod.log_output_times(1e-8, 1e1, 2.0))
+    T0 = jnp.asarray([p["T"] for p in pts])
+    y0b = jnp.tile(jnp.asarray(y0), (N, 1))
+
+    res_pool = ode.solve_pool(envs, y0b, T0, touts, rtol, atol, width=4,
+                              first_step=1e-8, evolT=False,
+                              max_steps_per_interval=2000)
+    res_ref = ode.solve_batched(envs, y0b, T0, touts,
+                                jnp.tile(rtol, (N, 1)),
+                                jnp.tile(atol, (N, 1)), first_step=1e-8,
+                                evolT=False, continuous=True,
+                                host_loop=True,
+                                max_steps_per_interval=2000)
+    assert not np.asarray(res_pool.fail).any()
+    assert not np.asarray(res_ref.fail).any()
+    yp = np.asarray(res_pool.ys[:, -1, :network.n_species])
+    yr = np.asarray(res_ref.ys[:, -1, :network.n_species])
+    ki = network.key_species_idx
+    for b in range(N):
+        rel = np.abs(yp[b, ki] - yr[b, ki]) \
+            / np.maximum(np.abs(yr[b, ki]), 1e-30)
+        assert rel.max() < 0.05, f"lane {b} worst {rel.max():.3f}"
